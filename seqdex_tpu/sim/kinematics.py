@@ -1,0 +1,259 @@
+"""Batched forward kinematics for fixed-base articulations.
+
+TPU-native replacement for PhysX's rigid-body state + Jacobian tensors
+(reference: `gym.acquire_rigid_body_state_tensor` / `acquire_jacobian_tensor`
+in `tasks/block_assembly/allegro_hand_block_assembly_grasp_sim.py:236-243`).
+
+All functions are built by a factory that closes over the static
+`Articulation` tables (they become XLA constants), take per-env `(q, qd)`
+vectors, and are `vmap`/`jit`-safe. The link loop is a static Python loop
+over the (small, ~35-link) topology — XLA unrolls and fuses it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# fp32-accurate einsums: the mass matrix feeds a Cholesky solve — bf16 MXU
+# passthrough is not acceptable there
+HI = jax.lax.Precision.HIGHEST
+
+from ..core.math import quat_apply, quat_from_angle_axis, quat_mul, quat_to_matrix
+from ..core.model import JOINT_PRISMATIC, JOINT_REVOLUTE, Articulation
+
+
+class FkResult(NamedTuple):
+    """World-frame kinematic state of every link (per env)."""
+
+    pos: jnp.ndarray  # (L, 3) link-frame origin
+    quat: jnp.ndarray  # (L, 4) xyzw
+    linvel: jnp.ndarray  # (L, 3) velocity of link origin
+    angvel: jnp.ndarray  # (L, 3)
+    dof_axis_w: jnp.ndarray  # (D, 3) world joint axes
+    dof_origin_w: jnp.ndarray  # (D, 3) world joint origins
+
+
+def make_kinematics(art: Articulation):
+    """Returns (fk, site_jacobian, com_jacobians) closures."""
+
+    L, D = art.nlinks, art.ndof
+    parent = art.parent  # host ints, used for static indexing
+    origin_pos = jnp.asarray(art.origin_pos, dtype=jnp.float32)
+    origin_quat = jnp.asarray(art.origin_quat, dtype=jnp.float32)
+    axis = jnp.asarray(art.axis, dtype=jnp.float32)
+    base_pos = jnp.asarray(art.base_pos, dtype=jnp.float32)
+    base_quat = jnp.asarray(art.base_quat, dtype=jnp.float32)
+    dof_index = art.dof_index  # host ints
+    joint_type = art.joint_type  # host ints
+    dof_link = art.dof_link
+    anc = jnp.asarray(art.ancestor_mask, dtype=jnp.float32)  # (L, D)
+
+    def fk(q: jnp.ndarray, qd: jnp.ndarray) -> FkResult:
+        pos, quat, lv, av = [], [], [], []
+        for i in range(L):
+            if parent[i] < 0:
+                p_pos, p_quat = base_pos, base_quat
+                p_lv = jnp.zeros(3, dtype=q.dtype)
+                p_av = jnp.zeros(3, dtype=q.dtype)
+            else:
+                pi = int(parent[i])
+                p_pos, p_quat, p_lv, p_av = pos[pi], quat[pi], lv[pi], av[pi]
+            # joint frame (fixed part) in world
+            j_pos = p_pos + quat_apply(p_quat, origin_pos[i])
+            j_quat = quat_mul(p_quat, origin_quat[i])
+            # velocity of the joint origin point (rigidly attached to parent)
+            r = j_pos - p_pos
+            j_lv = p_lv + jnp.cross(p_av, r)
+            jt = int(joint_type[i])
+            if jt == JOINT_REVOLUTE:
+                d = int(dof_index[i])
+                rot = quat_from_angle_axis(q[d], axis[i])
+                l_quat = quat_mul(j_quat, rot)
+                a_w = quat_apply(j_quat, axis[i])
+                l_av = p_av + a_w * qd[d]
+                l_pos, l_lv = j_pos, j_lv
+            elif jt == JOINT_PRISMATIC:
+                d = int(dof_index[i])
+                a_w = quat_apply(j_quat, axis[i])
+                l_pos = j_pos + a_w * q[d]
+                l_quat = j_quat
+                l_av = p_av
+                l_lv = j_lv + a_w * qd[d] + jnp.cross(p_av, a_w * q[d])
+            else:  # fixed
+                l_pos, l_quat, l_lv, l_av = j_pos, j_quat, j_lv, p_av
+            pos.append(l_pos)
+            quat.append(l_quat)
+            lv.append(l_lv)
+            av.append(l_av)
+        pos = jnp.stack(pos)
+        quat = jnp.stack(quat)
+        lv = jnp.stack(lv)
+        av = jnp.stack(av)
+        # world joint frames per dof (for Jacobians / contact torque mapping)
+        dof_axis_w = []
+        dof_origin_w = []
+        for d in range(D):
+            li = int(dof_link[d])
+            pi = int(parent[li])
+            if pi < 0:
+                pq, pp = base_quat, base_pos
+            else:
+                pq, pp = quat[pi], pos[pi]
+            jq = quat_mul(pq, origin_quat[li])
+            dof_axis_w.append(quat_apply(jq, axis[li]))
+            dof_origin_w.append(pp + quat_apply(pq, origin_pos[li]))
+        return FkResult(
+            pos=pos,
+            quat=quat,
+            linvel=lv,
+            angvel=av,
+            dof_axis_w=jnp.stack(dof_axis_w),
+            dof_origin_w=jnp.stack(dof_origin_w),
+        )
+
+    def point_jacobian_tau(fk_res: FkResult, link_idx: jnp.ndarray, p_w: jnp.ndarray,
+                           force_w: jnp.ndarray) -> jnp.ndarray:
+        """Map world point forces on links to generalized torques: tau = J^T f.
+
+        link_idx: (N,) int32, p_w: (N, 3), force_w: (N, 3) -> (D,)
+        For revolute dof d: tau_d = sum_n anc[link_n, d] * (a_d x (p_n - o_d)) . f_n
+        """
+        a = fk_res.dof_axis_w  # (D, 3)
+        o = fk_res.dof_origin_w  # (D, 3)
+        rel = p_w[:, None, :] - o[None, :, :]  # (N, D, 3)
+        lever = jnp.cross(jnp.broadcast_to(a[None], rel.shape), rel)  # (N, D, 3)
+        mask = anc[link_idx]  # (N, D)
+        return jnp.einsum("nd,ndk,nk->d", mask, lever, force_w, precision=HI)
+
+    def site_jacobian(fk_res: FkResult, link: int, offset=None) -> jnp.ndarray:
+        """6 x D geometric Jacobian of a point on `link` (rows: lin 3, ang 3).
+
+        Mirrors the slice of the PhysX jacobian used by `control_ik`
+        (`..._grasp_sim.py:1794-1803`): world-frame, columns = dofs.
+        """
+        p = fk_res.pos[link]
+        if offset is not None:
+            p = p + quat_apply(fk_res.quat[link], offset)
+        a = fk_res.dof_axis_w  # (D, 3)
+        o = fk_res.dof_origin_w
+        mask = anc[link]  # (D,)
+        lin = jnp.cross(a, p[None, :] - o) * mask[:, None]  # (D, 3)
+        ang = a * mask[:, None]
+        return jnp.concatenate([lin.T, ang.T], axis=0)  # (6, D)
+
+    def point_velocity(fk_res: FkResult, link_idx: jnp.ndarray, p_w: jnp.ndarray):
+        """World velocity of material points attached to links. (N,3)"""
+        lv = fk_res.linvel[link_idx]
+        av = fk_res.angvel[link_idx]
+        return lv + jnp.cross(av, p_w - fk_res.pos[link_idx])
+
+    def point_jacobian_rows(fk_res: FkResult, link_idx: jnp.ndarray, p_w: jnp.ndarray):
+        """Translational Jacobians of points on links: (N, 3, D).
+
+        v_p = J qd ; used to build contact Jacobians for the QP solver.
+        """
+        a = fk_res.dof_axis_w  # (D, 3)
+        o = fk_res.dof_origin_w
+        rel = p_w[:, None, :] - o[None, :, :]  # (N, D, 3)
+        lever = jnp.cross(jnp.broadcast_to(a[None], rel.shape), rel)  # (N, D, 3)
+        mask = anc[link_idx]  # (N, D)
+        return jnp.swapaxes(lever * mask[..., None], 1, 2)  # (N, 3, D)
+
+    return fk, site_jacobian, point_jacobian_tau, point_velocity, point_jacobian_rows
+
+
+def make_dynamics(art: Articulation, gravity=(0.0, 0.0, -9.81)):
+    """Mass matrix + bias forces via world-frame link Jacobians.
+
+    CRBA-equivalent: M = sum_l J_l^T I_l J_l, assembled with einsums so XLA
+    maps it onto the MXU (batched over envs). Bias via Newton-Euler with
+    qdd = 0. Replaces the PhysX articulation solver
+    (`gym.simulate`, `base_task.py:140`).
+    """
+    L, D = art.nlinks, art.ndof
+    anc = jnp.asarray(art.ancestor_mask, dtype=jnp.float32)  # (L, D)
+    mass = jnp.asarray(art.mass, dtype=jnp.float32)  # (L,)
+    com = jnp.asarray(art.com, dtype=jnp.float32)  # (L, 3)
+    inertia = jnp.asarray(art.inertia, dtype=jnp.float32)  # (L, 3, 3)
+    armature = jnp.asarray(art.armature, dtype=jnp.float32)  # (D,)
+    g = jnp.asarray(gravity, dtype=jnp.float32)
+    parent = art.parent
+
+    def com_world(fk_res: FkResult):
+        return fk_res.pos + quat_apply(fk_res.quat, com)  # (L, 3)
+
+    def link_jacobians(fk_res: FkResult):
+        """(Jlin, Jang): (L, D, 3) translational/rotational Jacobians at coms."""
+        a = fk_res.dof_axis_w  # (D, 3)
+        o = fk_res.dof_origin_w  # (D, 3)
+        c = com_world(fk_res)  # (L, 3)
+        rel = c[:, None, :] - o[None, :, :]  # (L, D, 3)
+        lever = jnp.cross(jnp.broadcast_to(a[None], rel.shape), rel)
+        jlin = lever * anc[..., None]  # (L, D, 3)
+        jang = jnp.broadcast_to(a[None], rel.shape) * anc[..., None]
+        return jlin, jang
+
+    def mass_matrix(fk_res: FkResult) -> jnp.ndarray:
+        jlin, jang = link_jacobians(fk_res)
+        R = quat_to_matrix(fk_res.quat)  # (L, 3, 3)
+        iw = jnp.einsum("lab,lbc,ldc->lad", R, inertia, R, precision=HI)  # R I R^T
+        m_lin = jnp.einsum("l,ldx,lex->de", mass, jlin, jlin, precision=HI)
+        m_ang = jnp.einsum("ldx,lxy,ley->de", jang, iw, jang, precision=HI)
+        return m_lin + m_ang + jnp.diag(armature)
+
+    def bias_forces(fk_res: FkResult, qd: jnp.ndarray) -> jnp.ndarray:
+        """C(q, qd) qd - tau_gravity, as generalized forces (D,).
+
+        Newton-Euler forward pass with qdd = 0, world frame; backward pass via
+        the com Jacobians.
+        """
+        c = com_world(fk_res)
+        R = quat_to_matrix(fk_res.quat)
+        iw = jnp.einsum("lab,lbc,ldc->lad", R, inertia, R, precision=HI)
+        # forward: angular accel (qdd = 0) and com linear accel per link
+        alpha = [None] * L
+        a_org = [None] * L  # accel of link origin
+        for i in range(L):
+            pi = int(parent[i])
+            if pi < 0:
+                p_alpha = jnp.zeros(3, dtype=qd.dtype)
+                p_aorg = jnp.zeros(3, dtype=qd.dtype)
+                p_av = jnp.zeros(3, dtype=qd.dtype)
+                p_pos = None
+            else:
+                p_alpha, p_aorg = alpha[pi], a_org[pi]
+                p_av = fk_res.angvel[pi]
+                p_pos = fk_res.pos[pi]
+            if p_pos is None:
+                r = jnp.zeros(3, dtype=qd.dtype)
+            else:
+                r = fk_res.pos[i] - p_pos
+            a_o = p_aorg + jnp.cross(p_alpha, r) + jnp.cross(p_av, jnp.cross(p_av, r))
+            d = int(art.dof_index[i])
+            if int(art.joint_type[i]) == JOINT_REVOLUTE:
+                a_w = None  # axis from fk dof tables
+                aw = fk_res.dof_axis_w[d]
+                al = p_alpha + jnp.cross(p_av, aw) * qd[d]
+            elif int(art.joint_type[i]) == JOINT_PRISMATIC:
+                aw = fk_res.dof_axis_w[d]
+                al = p_alpha
+                a_o = a_o + 2.0 * jnp.cross(p_av, aw * qd[d])
+            else:
+                al = p_alpha
+            alpha[i] = al
+            a_org[i] = a_o
+        alpha = jnp.stack(alpha)  # (L, 3)
+        a_org = jnp.stack(a_org)
+        rc = c - fk_res.pos  # com offset world
+        w = fk_res.angvel
+        a_com = a_org + jnp.cross(alpha, rc) + jnp.cross(w, jnp.cross(w, rc))
+        F = mass[:, None] * (a_com - g[None, :])  # (L, 3)
+        N = jnp.einsum("lab,lb->la", iw, alpha, precision=HI) + jnp.cross(w, jnp.einsum("lab,lb->la", iw, w, precision=HI))
+        jlin, jang = link_jacobians(fk_res)
+        return jnp.einsum("ldx,lx->d", jlin, F, precision=HI) + jnp.einsum("ldx,lx->d", jang, N, precision=HI)
+
+    return mass_matrix, bias_forces, link_jacobians, com_world

@@ -1,0 +1,290 @@
+"""Batched rigid-body simulator: the TPU-native `gym.simulate`.
+
+Replaces the IsaacGym step (`tasks/hand_base/base_task.py:130-150`:
+pre_physics -> control_freq_inv x simulate -> post_physics) with a pure
+function `step(state, targets) -> state` built by `make_sim`. One env's state
+is a small pytree; batching is `vmap`, multi-chip is sharding of the leading
+env axis.
+
+Integration scheme per substep (dt_sub = dt / substeps, reference budget
+dt = 1/60, 2 substeps — `utils/config.py:188`):
+  1. FK + world-frame CRBA mass matrix / Newton-Euler bias.
+  2. Implicit joint-space PD (PhysX DOF drive semantics:
+     stiffness/damping/effort per dof, `..._grasp_sim.py:580-592`):
+     (M + dt*(Kd + Dj) + dt^2*Kp) qd+ = M qd + dt*(Kp (q* - q) clamped - bias)
+     — unconditionally stable for the stiff finger drives.
+  3. Unconstrained ("free") velocity update for free bodies (gravity,
+     gyroscopic with angular-velocity clamp).
+  4. Contact narrowphase + friction-cone impulse QP (see contact.py) against
+     the implicitly damped mass operator.
+  5. Symplectic Euler position update, joint-limit clamp, quaternion
+     renormalisation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.math import quat_apply, quat_integrate, quat_to_matrix
+from .contact import make_narrowphase, solve_contact_qp
+from .kinematics import make_dynamics, make_kinematics
+from .scene import OWNER_BODY, OWNER_LINK, CompiledScene
+
+
+class SimState(NamedTuple):
+    """Dynamic state of one environment (vmap over the leading env axis)."""
+
+    q: jnp.ndarray  # (D,)
+    qd: jnp.ndarray  # (D,)
+    ctrl: jnp.ndarray  # (D,) PD position targets
+    body_pos: jnp.ndarray  # (B, 3)
+    body_quat: jnp.ndarray  # (B, 4) xyzw
+    body_linvel: jnp.ndarray  # (B, 3)
+    body_angvel: jnp.ndarray  # (B, 3)
+    # diagnostics from the last substep
+    link_contact_force: jnp.ndarray  # (L,) net contact force magnitude per link
+    body_contact_force: jnp.ndarray  # (B,)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    dt: float = 1.0 / 60.0  # control-rate timestep (reference `utils/config.py:188`)
+    substeps: int = 2  # physics substeps per control step (reference sim.substeps)
+    solver_iterations: int = 16  # = PhysX TGS position iters in the reference cfg
+    max_contacts: int = 64
+    baumgarte: float = 0.2
+    compliance: float = 1e-4
+    max_depenetration_vel: float = 0.5
+    gravity: tuple = (0.0, 0.0, -9.81)
+    max_angvel: float = 50.0
+    # PD drive gains per dof — set by the env to the reference's DOF props
+    # (arm: kp 400 kd 80 effort 200; hand: kp 50 kd 1 effort 5,
+    #  `..._grasp_sim.py:580-592`)
+    stiffness: tuple = ()
+    damping: tuple = ()
+    effort: tuple = ()
+
+
+def default_drive_params(ndof: int, arm_dofs: int = 7):
+    """Reference DOF drive table (`..._grasp_sim.py:580-592`)."""
+    kp = np.full(ndof, 50.0)
+    kd = np.full(ndof, 1.0)
+    eff = np.full(ndof, 5.0)
+    kp[:arm_dofs] = 400.0
+    kd[:arm_dofs] = 80.0
+    eff[:arm_dofs] = 200.0
+    return tuple(kp), tuple(kd), tuple(eff)
+
+
+class Simulator(NamedTuple):
+    """Bundle of pure functions closed over one compiled scene."""
+
+    scene: CompiledScene
+    config: SimConfig
+    init_state: object  # () -> SimState (single env)
+    step: object  # (SimState) -> SimState  — one control step
+    substep: object  # (SimState) -> SimState
+    fk: object  # (q, qd) -> FkResult
+    site_jacobian: object
+    mass_matrix: object
+
+
+def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
+    art = scene.art
+    D, B, L = art.ndof, scene.nbodies, art.nlinks
+    fk, site_jacobian, point_jacobian_tau, point_velocity, point_jacobian_rows = (
+        make_kinematics(art)
+    )
+    mass_matrix, bias_forces, link_jacobians, com_world = make_dynamics(
+        art, gravity=config.gravity
+    )
+    narrowphase, point_world_fn = make_narrowphase(scene, config.max_contacts)
+
+    kp = jnp.asarray(config.stiffness if config.stiffness else default_drive_params(D)[0],
+                     dtype=jnp.float32)
+    kd = jnp.asarray(config.damping if config.damping else default_drive_params(D)[1],
+                     dtype=jnp.float32)
+    effort = jnp.asarray(config.effort if config.effort else default_drive_params(D)[2],
+                         dtype=jnp.float32)
+    joint_damping = jnp.asarray(art.joint_damping, dtype=jnp.float32) * 0.0  # drives own the damping
+    lower = jnp.asarray(art.lower, dtype=jnp.float32)
+    upper = jnp.asarray(art.upper, dtype=jnp.float32)
+    g = jnp.asarray(config.gravity, dtype=jnp.float32)
+
+    inv_mass_b = jnp.asarray(scene.body_inv_mass, dtype=jnp.float32)
+    inertia_b = jnp.asarray(scene.body_inertia, dtype=jnp.float32)
+    inv_inertia_b = jnp.asarray(scene.body_inv_inertia, dtype=jnp.float32)
+    body_kinematic = jnp.asarray(scene.body_kinematic)
+
+    pt_owner_kind = jnp.asarray(scene.pt_owner_kind)
+    pt_owner = jnp.asarray(scene.pt_owner)
+    col_owner_kind = jnp.asarray(scene.col_owner_kind)
+    col_owner = jnp.asarray(scene.col_owner)
+
+    h = config.dt / config.substeps
+
+    def init_state() -> SimState:
+        q0 = 0.5 * (lower + upper)
+        return SimState(
+            q=q0,
+            qd=jnp.zeros(D, dtype=jnp.float32),
+            ctrl=q0,
+            body_pos=jnp.zeros((B, 3), dtype=jnp.float32),
+            body_quat=jnp.tile(jnp.array([0, 0, 0, 1.0], dtype=jnp.float32), (B, 1)),
+            body_linvel=jnp.zeros((B, 3), dtype=jnp.float32),
+            body_angvel=jnp.zeros((B, 3), dtype=jnp.float32),
+            link_contact_force=jnp.zeros(L, dtype=jnp.float32),
+            body_contact_force=jnp.zeros(B, dtype=jnp.float32),
+        )
+
+    def substep(state: SimState) -> SimState:
+        fk_res = fk(state.q, state.qd)
+        M = mass_matrix(fk_res)
+        bias = bias_forces(fk_res, state.qd)
+        # implicit PD (see module docstring)
+        tau_spring = jnp.clip(kp * (state.ctrl - state.q), -effort, effort)
+        Mt = M + jnp.diag(h * (kd + joint_damping) + h * h * kp)
+        chol = jax.scipy.linalg.cho_factor(Mt)
+        rhs = M @ state.qd + h * (tau_spring - bias)
+        qd_free = jax.scipy.linalg.cho_solve(chol, rhs)
+
+        # free bodies: gravity + gyroscopic
+        grav = jnp.where(body_kinematic[:, None] | (inv_mass_b == 0.0)[:, None], 0.0,
+                         jnp.broadcast_to(g, (B, 3)))
+        v_free = state.body_linvel + h * grav
+        R = quat_to_matrix(state.body_quat)  # (B, 3, 3)
+        Iw = jnp.einsum("bij,bjk,blk->bil", R, inertia_b, R)
+        Iw_inv = jnp.einsum("bij,bjk,blk->bil", R, inv_inertia_b, R)
+        gyro = jnp.cross(state.body_angvel, jnp.einsum("bij,bj->bi", Iw, state.body_angvel))
+        w_free = state.body_angvel - h * jnp.einsum("bij,bj->bi", Iw_inv, gyro)
+        w_free = jnp.clip(w_free, -config.max_angvel, config.max_angvel)
+
+        # contacts
+        contacts = narrowphase(fk_res.pos, fk_res.quat, state.body_pos, state.body_quat)
+        k_pt = contacts.pt_idx
+        k_col = contacts.col_idx
+        # robot jacobian rows: (point side) minus (collider side)
+        pt_is_link = pt_owner_kind[k_pt] == OWNER_LINK
+        col_is_link = col_owner_kind[k_col] == OWNER_LINK
+        link_of_pt = jnp.where(pt_is_link, pt_owner[k_pt], 0)
+        link_of_col = jnp.where(col_is_link, col_owner[k_col], 0)
+        Jp = point_jacobian_rows(fk_res, link_of_pt, contacts.pos)  # (K, 3, D)
+        Jc = point_jacobian_rows(fk_res, link_of_col, contacts.pos)
+        J_robot = (
+            Jp * pt_is_link[:, None, None] - Jc * col_is_link[:, None, None]
+        )
+        # body indices (or -1)
+        body_of_pt = jnp.where(pt_owner_kind[k_pt] == OWNER_BODY, pt_owner[k_pt], -1)
+        body_of_col = jnp.where(col_owner_kind[k_col] == OWNER_BODY, col_owner[k_col], -1)
+        # treat kinematic bodies as immovable: drop their indices
+        if B > 0:
+            body_of_pt = jnp.where(
+                (body_of_pt >= 0) & (inv_mass_b[jnp.clip(body_of_pt, 0, B - 1)] == 0.0),
+                -1, body_of_pt)
+            body_of_col = jnp.where(
+                (body_of_col >= 0) & (inv_mass_b[jnp.clip(body_of_col, 0, B - 1)] == 0.0),
+                -1, body_of_col)
+            com_w = state.body_pos + quat_apply(
+                state.body_quat, jnp.asarray(scene.body_com, dtype=jnp.float32)
+            )
+            r_pt = contacts.pos - com_w[jnp.clip(body_of_pt, 0, B - 1)]
+            r_col = contacts.pos - com_w[jnp.clip(body_of_col, 0, B - 1)]
+        else:
+            r_pt = jnp.zeros_like(contacts.pos)
+            r_col = jnp.zeros_like(contacts.pos)
+
+        # relative velocity at contact, using free (post-drive) velocities
+        v_pt_robot = jnp.einsum("kwd,d->kw", Jp, qd_free) * pt_is_link[:, None]
+        v_col_robot = jnp.einsum("kwd,d->kw", Jc, qd_free) * col_is_link[:, None]
+        if B > 0:
+            v_pt_body = (
+                v_free[jnp.clip(body_of_pt, 0, B - 1)]
+                + jnp.cross(w_free[jnp.clip(body_of_pt, 0, B - 1)], r_pt)
+            ) * (body_of_pt >= 0)[:, None]
+            v_col_body = (
+                v_free[jnp.clip(body_of_col, 0, B - 1)]
+                + jnp.cross(w_free[jnp.clip(body_of_col, 0, B - 1)], r_col)
+            ) * (body_of_col >= 0)[:, None]
+        else:
+            v_pt_body = jnp.zeros_like(contacts.pos)
+            v_col_body = jnp.zeros_like(contacts.pos)
+        v_rel = (v_pt_robot + v_pt_body) - (v_col_robot + v_col_body)
+
+        sol = solve_contact_qp(
+            contacts,
+            J_robot,
+            body_of_pt,
+            body_of_col,
+            r_pt,
+            r_col,
+            v_rel,
+            chol,
+            inv_mass_b,
+            Iw_inv if B > 0 else jnp.zeros((0, 3, 3), dtype=jnp.float32),
+            dt=h,
+            baumgarte=config.baumgarte,
+            compliance=config.compliance,
+            iterations=config.solver_iterations,
+            max_depenetration_vel=config.max_depenetration_vel,
+        )
+
+        qd_new = qd_free + sol.dqd
+        v_new = v_free + sol.dbody_v
+        w_new = w_free + sol.dbody_w
+
+        # integrate positions
+        q_new = state.q + h * qd_new
+        q_clamped = jnp.clip(q_new, lower, upper)
+        at_limit = q_new != q_clamped
+        qd_new = jnp.where(at_limit, 0.0, qd_new)
+        body_pos_new = state.body_pos + h * v_new
+        body_quat_new = quat_integrate(state.body_quat, w_new, h)
+
+        # diagnostics: contact force magnitudes (impulse / dt)
+        fmag = jnp.linalg.norm(sol.force_world, axis=-1) / h  # (K,)
+        fmag = jnp.where(contacts.active, fmag, 0.0)
+        link_force = jnp.zeros(L, dtype=fmag.dtype)
+        link_force = link_force.at[link_of_pt].add(fmag * pt_is_link)
+        link_force = link_force.at[link_of_col].add(fmag * col_is_link)
+        body_force = jnp.zeros(B, dtype=fmag.dtype)
+        if B > 0:
+            body_force = body_force.at[jnp.clip(body_of_pt, 0, B - 1)].add(
+                fmag * (body_of_pt >= 0)
+            )
+            body_force = body_force.at[jnp.clip(body_of_col, 0, B - 1)].add(
+                fmag * (body_of_col >= 0)
+            )
+
+        return SimState(
+            q=q_clamped.astype(state.q.dtype),
+            qd=qd_new.astype(state.q.dtype),
+            ctrl=state.ctrl,
+            body_pos=body_pos_new,
+            body_quat=body_quat_new,
+            body_linvel=v_new,
+            body_angvel=w_new,
+            link_contact_force=link_force,
+            body_contact_force=body_force,
+        )
+
+    def step(state: SimState) -> SimState:
+        for _ in range(config.substeps):
+            state = substep(state)
+        return state
+
+    return Simulator(
+        scene=scene,
+        config=config,
+        init_state=init_state,
+        step=step,
+        substep=substep,
+        fk=fk,
+        site_jacobian=site_jacobian,
+        mass_matrix=mass_matrix,
+    )

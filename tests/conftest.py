@@ -1,0 +1,14 @@
+"""Test harness config: force an 8-device CPU mesh so sharding tests run
+without TPU hardware (the driver's multichip dry-run does the same)."""
+
+import os
+
+# force-override: the session environment may pin JAX_PLATFORMS to the TPU
+# ('axon') platform; unit tests must run on the virtual 8-device CPU mesh
+os.environ["JAX_PLATFORMS"] = os.environ.get("SEQDEX_TEST_PLATFORM", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
