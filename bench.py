@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+
 from seqdex_tpu.envs.block_assembly.grasp_sim import GraspSimConfig, make_grasp_sim_env
 from seqdex_tpu.rl import networks
 
@@ -29,6 +31,7 @@ BASELINE_STEPS_PER_SEC_PER_CHIP = 62_500.0
 def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", "2048"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "25"))
 
     env = make_grasp_sim_env(GraspSimConfig())
     keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
@@ -43,12 +46,14 @@ def main():
         state, out = jax.vmap(env.step)(state, action)
         return state, out.obs
 
-    rollout_step = jax.jit(rollout_step)
+    rollout_step = jax.jit(rollout_step, donate_argnums=(0,))
 
     obs = state.obs_stack.reshape(num_envs, -1)
-    state, obs = jax.tree_util.tree_map(
-        jax.block_until_ready, rollout_step(state, obs)
-    )  # compile
+    # compile + runtime warm-up (the first ~20 device iterations run slow
+    # while the TPU runtime finishes its lazy setup)
+    for _ in range(warmup):
+        state, obs = rollout_step(state, obs)
+    jax.block_until_ready(obs)
 
     t0 = time.perf_counter()
     for _ in range(iters):

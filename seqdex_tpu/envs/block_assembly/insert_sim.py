@@ -1,0 +1,353 @@
+"""BlockAssemblyInsertSim — press the grasped block onto the baseplate studs.
+
+TPU-native re-implementation of
+`tasks/block_assembly/allegro_hand_block_assembly_insert_sim.py` (1725 LoC):
+75-dim single-frame observations (`:174-177` num_obs_dict), 188-dim
+asymmetric states, 23 actions with wrist orientation LOCKED to
+`target_euler = (0, pi, 1.571)` (rot_err from `orientation_error`,
+`:1533-1535`), reward = exp(-rot_dist - 20*pos_dist) + success bonus with the
+180-degree z-flip symmetry (`compute_hand_reward`, `:1640-1694`), resets on
+finger slip (dist >= 0.6) / wrist error (>= 0.03) / timeout (`:1672-1677`).
+
+Reset pulls (hand dof, block pose) from a grasp terminal-state reservoir when
+provided (reference loads grasping terminal pickles, `:372-375,1448-1455`);
+otherwise a synthetic "block held above the socket" distribution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import builders
+from ...core.math import (
+    orientation_error,
+    quat_apply,
+    quat_conjugate,
+    quat_from_angle_axis,
+    quat_from_euler_xyz,
+    quat_mul,
+    scale_to_limits,
+    unscale_from_limits,
+)
+from ...sim.scene import compile_scene
+from ...sim.simulator import SimConfig, make_sim
+from ..base import Env, StepOutput, clip_actions, clip_obs, push_frame, select_tree
+from .grasp_sim import control_ik
+
+ONE_FRAME_OBS = 75
+ONE_FRAME_STATES = 188
+STACK = 1
+NUM_ACTIONS = 23
+
+
+@dataclasses.dataclass(frozen=True)
+class InsertSimConfig:
+    episode_length: int = 125
+    action_moving_average: float = 1.0
+    vel_obs_scale: float = 0.2
+    lego_type: str = "1x2"
+    substeps: int = 2
+    solver_iterations: int = 16
+    max_contacts: int = 48
+    # success predicate (`..._insert_sim.py:1666-1667`)
+    success_pos_tol: float = 0.02
+    success_rot_tol: float = 0.2
+
+
+class InsertTaskState(NamedTuple):
+    sim: object
+    key: jnp.ndarray
+    progress: jnp.ndarray
+    reset_flag: jnp.ndarray
+    obs_stack: jnp.ndarray
+    state_stack: jnp.ndarray
+    prev_targets: jnp.ndarray
+    extra_target_pos: jnp.ndarray  # (3,) socket target position (stud-aligned)
+    extra_target_rot: jnp.ndarray  # (4,)
+    successes: jnp.ndarray
+    actions: jnp.ndarray
+
+
+# wrist orientation lock (`..._insert_sim.py` target_euler, same constant as
+# grasp_sim `:470` target_euler = [0, 3.1415, 1.571])
+_TARGET_EULER = (0.0, 3.1415, 1.571)
+
+# arm pose holding the block above the plate (synthetic stand-in for the
+# loaded grasp terminal states)
+_HOLD_ARM_QPOS = (-0.92, -0.26, 0.1, -2.5, 0.1, 2.3, 0.0)
+
+
+def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
+                        reservoir=None) -> Env:
+    art_spec = builders.franka_allegro()
+    brick = builders.lego_brick(cfg.lego_type, name="target")
+    # socket: a kinematic brick already on the plate that the block mates to
+    socket = builders.lego_brick(cfg.lego_type, name="socket")
+    socket = dataclasses.replace(socket, kinematic=True)
+    scene = compile_scene(
+        art_spec,
+        bodies=[brick, socket],
+        statics=[builders.table(), builders.ground()],
+    )
+    art = scene.art
+    sim = make_sim(
+        scene,
+        SimConfig(
+            substeps=cfg.substeps,
+            solver_iterations=cfg.solver_iterations,
+            max_contacts=cfg.max_contacts,
+        ),
+    )
+    D = art.ndof
+    lower = jnp.asarray(art.lower, dtype=jnp.float32)
+    upper = jnp.asarray(art.upper, dtype=jnp.float32)
+    hand_lower, hand_upper = lower[7:23], upper[7:23]
+
+    hand_base = art.link_index(builders.HAND_BASE_LINK)
+    tips = tuple(art.link_index(n) for n in builders.FINGERTIP_LINKS)
+    fsr = tuple(art.link_index(n) for n in builders.FSR_LINKS)
+    target_body = scene.body_index("target")
+    socket_body = scene.body_index("socket")
+
+    target_rot_lock = quat_from_euler_xyz(*[jnp.float32(v) for v in _TARGET_EULER])
+    z_flip = jnp.asarray([0.0, 0.0, 1.0, 0.0], dtype=jnp.float32)  # 180 deg about z
+
+    hold_q = jnp.zeros(D, dtype=jnp.float32)
+    hold_q = hold_q.at[:7].set(jnp.asarray(_HOLD_ARM_QPOS, dtype=jnp.float32))
+    # fingers part-closed around the brick
+    hold_q = hold_q.at[7:23].set(hand_lower + 0.55 * (hand_upper - hand_lower))
+
+    def _tip_pos(fk_res):
+        idx = jnp.asarray(tips)
+        p = fk_res.pos[idx, :]
+        q = fk_res.quat[idx, :]
+        off = quat_apply(q, jnp.tile(jnp.asarray([0.0, 0.0, 0.04], dtype=jnp.float32), (4, 1)))
+        return p + off
+
+    def _reset_sim(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        s = sim.init_state()
+        # socket on the table near (0.25, -0.2) with yaw in {0, 90 deg}
+        # (`..._insert_sim.py:1437-1445`)
+        ri = jax.random.randint(k1, (3,), 0, 2)
+        sp = jnp.stack([
+            0.25 + ri[0] * 0.03,
+            -0.2 + ri[1] * 0.03,
+            jnp.int32(0) + 0.618,
+        ])
+        yaw = ri[2].astype(jnp.float32) * 1.57
+        sq = quat_from_angle_axis(yaw, jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32))
+        # stud-aligned mate target: one brick height up, half-module lateral
+        # (`..._insert_sim.py:1123-1129`)
+        tgt = sp + quat_apply(sq, jnp.asarray([0.0, 0.0, 0.0375], dtype=jnp.float32))
+        tgt = tgt + quat_apply(sq, jnp.asarray([0.0, 0.015, 0.0], dtype=jnp.float32))
+
+        if reservoir is not None:
+            q0, block_pos, block_rot = reservoir.sample(k2)
+        else:
+            q0 = hold_q
+            fk0 = sim.fk(q0, jnp.zeros(D, dtype=jnp.float32))
+            palm = fk0.pos[art.link_index("palm_center")]
+            nz = (jax.random.uniform(k3, (3,)) * 2 - 1) * 0.005
+            block_pos = palm + jnp.asarray([0.0, 0.0, -0.02], dtype=jnp.float32) + nz
+            block_rot = quat_mul(
+                fk0.quat[hand_base],
+                quat_from_euler_xyz(jnp.float32(jnp.pi), jnp.float32(0.0), jnp.float32(0.0)),
+            )
+        s = s._replace(
+            q=q0,
+            qd=jnp.zeros(D, dtype=jnp.float32),
+            ctrl=q0,
+            body_pos=s.body_pos.at[target_body].set(block_pos).at[socket_body].set(sp),
+            body_quat=s.body_quat.at[target_body].set(block_rot).at[socket_body].set(sq),
+            body_linvel=jnp.zeros_like(s.body_linvel),
+            body_angvel=jnp.zeros_like(s.body_angvel),
+        )
+        return s, tgt, sq
+
+    def _observe(state: InsertTaskState, fk_res):
+        """75-dim frame (`..._insert_sim.py:1281-1298`) + 188 states
+        (`:1220-1283`, same family as grasp_sim)."""
+        s = state.sim
+        q, qd = s.q, s.qd
+        hb_pos = fk_res.pos[hand_base]
+        hb_rot = fk_res.quat[hand_base]
+        tgt_pos = s.body_pos[target_body]
+        tgt_rot = s.body_quat[target_body]
+
+        obs = jnp.zeros(ONE_FRAME_OBS, dtype=jnp.float32)
+        obs = obs.at[0:16].set(unscale_from_limits(q[7:23], hand_lower, hand_upper))
+        obs = obs.at[23:46].set(state.actions)
+        obs = obs.at[46:49].set(hb_pos - state.extra_target_pos)
+        obs = obs.at[49:53].set(quat_mul(hb_rot, quat_conjugate(state.extra_target_rot)))
+        obs = obs.at[53:56].set(hb_pos - tgt_pos)
+        obs = obs.at[56:60].set(quat_mul(hb_rot, quat_conjugate(tgt_rot)))
+        obs = obs.at[61:64].set(state.extra_target_pos)
+        obs = obs.at[64:68].set(state.extra_target_rot)
+        obs = obs.at[68:71].set(tgt_pos - state.extra_target_pos)
+        obs = obs.at[71:75].set(quat_mul(tgt_rot, quat_conjugate(state.extra_target_rot)))
+
+        tp = _tip_pos(fk_res)
+        idx = jnp.asarray(tips)
+        tip_rot = fk_res.quat[idx, :]
+        tip_lv = fk_res.linvel[idx, :]
+        tip_av = fk_res.angvel[idx, :]
+        st = jnp.zeros(ONE_FRAME_STATES, dtype=jnp.float32)
+        st = st.at[0:23].set(unscale_from_limits(q, lower, upper))
+        st = st.at[23:46].set(cfg.vel_obs_scale * qd)
+        st = st.at[46:49].set(tp[0])
+        st = st.at[49:52].set(tp[2])
+        st = st.at[52:55].set(tp[1])
+        st = st.at[55:58].set(tp[3])
+        st = st.at[58:81].set(state.actions)
+        st = st.at[81:84].set(hb_pos)
+        st = st.at[84:88].set(hb_rot)
+        st = st.at[88:91].set(tgt_pos)
+        st = st.at[91:95].set(tgt_rot)
+        st = st.at[95:98].set(fk_res.linvel[hand_base])
+        st = st.at[98:101].set(fk_res.angvel[hand_base])
+        st = st.at[101:105].set(tip_rot[0])
+        st = st.at[105:108].set(tip_lv[0])
+        st = st.at[108:111].set(tip_av[0])
+        st = st.at[111:115].set(tip_rot[1])
+        st = st.at[115:118].set(tip_lv[1])
+        st = st.at[118:121].set(tip_av[1])
+        st = st.at[121:125].set(tip_rot[2])
+        st = st.at[125:128].set(tip_lv[2])
+        st = st.at[128:131].set(tip_av[2])
+        st = st.at[131:135].set(tip_rot[3])
+        st = st.at[135:138].set(tip_lv[3])
+        st = st.at[138:141].set(tip_av[3])
+        st = st.at[142:145].set(s.body_linvel[target_body])
+        st = st.at[145:148].set(s.body_angvel[target_body])
+        st = st.at[148:151].set(state.extra_target_pos)
+        st = st.at[151:154].set(tgt_pos - state.extra_target_pos)
+        st = st.at[154:157].set(hb_pos - tgt_pos)
+        st = st.at[157:161].set(quat_mul(hb_rot, quat_conjugate(tgt_rot)))
+        st = st.at[161:164].set(tgt_pos - tp[0])
+        st = st.at[164:167].set(tgt_pos - tp[2])
+        st = st.at[167:170].set(tgt_pos - tp[1])
+        st = st.at[170:173].set(tgt_pos - tp[3])
+        return obs, st
+
+    def reset(key) -> InsertTaskState:
+        k0, k1 = jax.random.split(key)
+        s, tgt, sq = _reset_sim(k0)
+        state = InsertTaskState(
+            sim=s,
+            key=k1,
+            progress=jnp.int32(0),
+            reset_flag=jnp.bool_(False),
+            obs_stack=jnp.zeros((STACK, ONE_FRAME_OBS), dtype=jnp.float32),
+            state_stack=jnp.zeros((STACK, ONE_FRAME_STATES), dtype=jnp.float32),
+            prev_targets=s.ctrl,
+            extra_target_pos=tgt,
+            extra_target_rot=sq,
+            successes=jnp.float32(0.0),
+            actions=jnp.zeros(NUM_ACTIONS, dtype=jnp.float32),
+        )
+        fk_res = sim.fk(s.q, s.qd)
+        obs, st = _observe(state, fk_res)
+        return state._replace(
+            obs_stack=push_frame(state.obs_stack, obs),
+            state_stack=push_frame(state.state_stack, st),
+        )
+
+    def step(state: InsertTaskState, action: jnp.ndarray):
+        fresh = reset(state.key)
+        state = select_tree(state.reset_flag, fresh, state)
+
+        action = clip_actions(action)
+        s = state.sim
+        fk_res = sim.fk(s.q, s.qd)
+
+        fingers = scale_to_limits(action[7:23], hand_lower, hand_upper)
+        fingers = (
+            cfg.action_moving_average * fingers
+            + (1.0 - cfg.action_moving_average) * state.prev_targets[7:23]
+        )
+        # wrist orientation locked to target_euler (`..._insert_sim.py:1533-1535`)
+        pos_err = action[0:3] * 0.64
+        rot_err = orientation_error(target_rot_lock, fk_res.quat[hand_base])
+        dpose = jnp.concatenate([pos_err, rot_err])
+        J = sim.site_jacobian(fk_res, hand_base)[:, :7]
+        delta = control_ik(J, dpose)
+        arm_targets = s.q[:7] + delta
+
+        targets = jnp.clip(jnp.concatenate([arm_targets, fingers]), lower, upper)
+        s = s._replace(ctrl=targets)
+        s = sim.step(s)
+        prog = state.progress + 1
+        state = state._replace(sim=s, progress=prog, prev_targets=targets, actions=action)
+
+        fk2 = sim.fk(s.q, s.qd)
+        obs, st = _observe(state, fk2)
+        obs_stack = push_frame(state.obs_stack, obs)
+        state_stack = push_frame(state.state_stack, st)
+
+        # reward (`compute_hand_reward` `..._insert_sim.py:1640-1694`)
+        tp = _tip_pos(fk2)
+        tgt_pos = s.body_pos[target_body]
+        tgt_rot = s.body_quat[target_body]
+        finger_dist = (
+            jnp.linalg.norm(tgt_pos - tp[0])
+            + jnp.linalg.norm(tgt_pos - tp[1])
+            + jnp.linalg.norm(tgt_pos - tp[2])
+            + 3.0 * jnp.linalg.norm(tgt_pos - tp[3])
+        )
+        qd1 = quat_mul(tgt_rot, quat_conjugate(state.extra_target_rot))
+        rot1 = 2.0 * jnp.arcsin(jnp.clip(jnp.linalg.norm(qd1[:3]), None, 1.0))
+        sym_rot = quat_mul(state.extra_target_rot, z_flip)
+        qd2 = quat_mul(tgt_rot, quat_conjugate(sym_rot))
+        rot2 = 2.0 * jnp.arcsin(jnp.clip(jnp.linalg.norm(qd2[:3]), None, 1.0))
+        rot_dist = jnp.minimum(rot1, rot2)
+        pos_dist = jnp.linalg.norm(tgt_pos - state.extra_target_pos)
+
+        insert_reward = jnp.exp(-1.0 * rot_dist - 20.0 * pos_dist)
+        bonus = jnp.where(
+            (pos_dist < cfg.success_pos_tol) & (rot_dist < cfg.success_rot_tol), 1.0, 0.0
+        )
+        reward = insert_reward + bonus
+
+        wrist_err = orientation_error(target_rot_lock, fk2.quat[hand_base])
+        timed_out = prog >= cfg.episode_length - 1
+        slipped = finger_dist >= 0.6
+        wrist_off = jnp.sum(wrist_err**2) >= 0.03
+        done = timed_out | slipped | wrist_off
+        success = bonus
+
+        state = state._replace(
+            obs_stack=obs_stack,
+            state_stack=state_stack,
+            reset_flag=done,
+            successes=success,
+        )
+        out = StepOutput(
+            obs=clip_obs(obs_stack.reshape(-1)),
+            states=clip_obs(state_stack.reshape(-1)),
+            reward=reward,
+            done=done,
+            info={
+                "successes": success,
+                "pos_dist": pos_dist,
+                "rot_dist": rot_dist,
+                "contact_forces": s.link_contact_force[jnp.asarray(fsr)],
+            },
+        )
+        return state, out
+
+    return Env(
+        name="BlockAssemblyInsertSim",
+        num_obs=ONE_FRAME_OBS * STACK,
+        num_states=ONE_FRAME_STATES * STACK,
+        num_actions=NUM_ACTIONS,
+        episode_length=cfg.episode_length,
+        reset=reset,
+        step=step,
+        sim=sim,
+    )

@@ -1,0 +1,374 @@
+"""BlockAssemblyOrient — spin/flip the grasped block until it lies face-up.
+
+TPU-native re-implementation of
+`tasks/block_assembly/allegro_hand_block_assembly_orient.py` (1934 LoC):
+62-dim x 3 stacked observations, 188-dim states, finger-only policy control
+with an object-centric tracking arm (pos_err = block - hand_base + (-0.18,
+0, +0.22) offsets, wrist locked to `target_euler`, `:1735-1747`), reward
+exp(-(5*z-align-err + 5*finger-dist-err)) (`compute_hand_reward`,
+`:1843-1907`).
+
+The reference resets into a Search terminal heap and runs a 50-step scripted
+IK descent (`post_reset`, `:1655-1695`). Here the descent is solved
+*kinematically* (iterated FK+damped-LS IK, no contact involved — the hand
+only meets the block afterwards), which removes 50 simulated steps from
+every reset while landing the same pre-grasp pose; block pose comes from a
+reservoir or a random-orientation-on-table distribution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core import builders
+from ...core.math import (
+    orientation_error,
+    quat_apply,
+    quat_conjugate,
+    quat_from_euler_xyz,
+    quat_mul,
+    scale_to_limits,
+    tf_combine,
+    tf_inverse,
+    unscale_from_limits,
+)
+from ...sim.scene import compile_scene
+from ...sim.simulator import SimConfig, make_sim
+from ..base import Env, StepOutput, clip_actions, clip_obs, push_frame, select_tree
+from .grasp_sim import control_ik
+
+ONE_FRAME_OBS = 62
+ONE_FRAME_STATES = 188
+STACK = 3
+NUM_ACTIONS = 23
+
+# scripted finger spread at reset (`..._orient.py:1590-1596`): unscaled units
+_RESET_FINGER_UNSCALED = (0, 0, -1, 0.5, 1, 0, -1, 0.5, 0, 0, -1, 0.5, 0, 0, -1, 0.5)
+_TARGET_EULER = (0.0, 3.1415, 1.571)
+
+
+@dataclasses.dataclass(frozen=True)
+class OrientConfig:
+    episode_length: int = 75
+    action_moving_average: float = 1.0
+    vel_obs_scale: float = 0.2
+    lego_type: str = "1x2"
+    substeps: int = 2
+    solver_iterations: int = 16
+    max_contacts: int = 48
+    descent_iters: int = 12  # kinematic IK iterations replacing the scripted descent
+    obs_noise: bool = True
+
+
+class OrientTaskState(NamedTuple):
+    sim: object
+    key: jnp.ndarray
+    progress: jnp.ndarray
+    reset_flag: jnp.ndarray
+    obs_stack: jnp.ndarray
+    state_stack: jnp.ndarray
+    prev_targets: jnp.ndarray
+    target_init_pos: jnp.ndarray
+    target_init_rot: jnp.ndarray
+    successes: jnp.ndarray
+    actions: jnp.ndarray
+
+
+def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None) -> Env:
+    art_spec = builders.franka_allegro()
+    brick = builders.lego_brick(cfg.lego_type, name="target")
+    scene = compile_scene(
+        art_spec, bodies=[brick], statics=[builders.table(), builders.ground()]
+    )
+    art = scene.art
+    sim = make_sim(
+        scene,
+        SimConfig(
+            substeps=cfg.substeps,
+            solver_iterations=cfg.solver_iterations,
+            max_contacts=cfg.max_contacts,
+        ),
+    )
+    D = art.ndof
+    lower = jnp.asarray(art.lower, dtype=jnp.float32)
+    upper = jnp.asarray(art.upper, dtype=jnp.float32)
+    hand_lower, hand_upper = lower[7:23], upper[7:23]
+
+    hand_base = art.link_index(builders.HAND_BASE_LINK)
+    mount = art.link_index("panda_link7")
+    tips = tuple(art.link_index(n) for n in builders.FINGERTIP_LINKS)
+    fsr = tuple(art.link_index(n) for n in builders.FSR_LINKS)
+    target_body = scene.body_index("target")
+
+    base_pos_w = jnp.asarray(art.base_pos, dtype=jnp.float32)
+    base_quat_w = jnp.asarray(art.base_quat, dtype=jnp.float32)
+    cam_offset_quat = quat_from_euler_xyz(
+        jnp.float32(0.0), jnp.float32(-3.141 + 0.5), jnp.float32(1.571)
+    )
+    cam_offset_pos = jnp.asarray([0.03, 0.107 - 0.098, 0.067 + 0.107], dtype=jnp.float32)
+
+    reset_fingers = scale_to_limits(
+        jnp.asarray(_RESET_FINGER_UNSCALED, dtype=jnp.float32), hand_lower, hand_upper
+    )
+    target_rot_lock = quat_from_euler_xyz(*[jnp.float32(v) for v in _TARGET_EULER])
+
+    def _tip_pos(fk_res):
+        idx = jnp.asarray(tips)
+        p = fk_res.pos[idx, :]
+        q = fk_res.quat[idx, :]
+        off = quat_apply(q, jnp.tile(jnp.asarray([0.0, 0.0, 0.04], dtype=jnp.float32), (4, 1)))
+        return p + off
+
+    def _kinematic_descent(q0, block_pos):
+        """Iterated IK to the pre-grasp pose above the block
+        (replaces the 50-step scripted simulate loop, `..._orient.py:1655-1695`)."""
+
+        def body(_, q):
+            fk_res = sim.fk(q, jnp.zeros(D, dtype=jnp.float32))
+            pos_err = block_pos - fk_res.pos[hand_base]
+            pos_err = pos_err + jnp.asarray([-0.18, 0.0, 0.22], dtype=jnp.float32)
+            rot_err = orientation_error(target_rot_lock, fk_res.quat[hand_base])
+            dpose = jnp.concatenate([pos_err, rot_err])
+            J = sim.site_jacobian(fk_res, hand_base)[:, :7]
+            delta = control_ik(J, dpose)
+            q = q.at[:7].add(delta)
+            return jnp.clip(q, lower, upper)
+
+        return jax.lax.fori_loop(0, cfg.descent_iters, body, q0)
+
+    def _reset_sim(key):
+        from ...core.math import quat_from_angle_axis, random_quat
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        s = sim.init_state()
+        if reservoir is not None:
+            block_pos, block_rot = reservoir.sample(k1)
+        else:
+            xy = jnp.asarray([0.25, 0.19], dtype=jnp.float32) + 0.02 * (
+                jax.random.uniform(k1, (2,)) * 2 - 1
+            )
+            # arbitrary orientation resting on the table (face/edge up)
+            block_rot = random_quat(k2)
+            block_pos = jnp.concatenate([xy, jnp.asarray([0.635], dtype=jnp.float32)])
+        q0 = jnp.zeros(D, dtype=jnp.float32)
+        q0 = q0.at[:7].set(jnp.asarray(builders.DEFAULT_ARM_QPOS, dtype=jnp.float32))
+        q0 = q0.at[7:23].set(reset_fingers)
+        q0 = _kinematic_descent(q0, block_pos)
+        s = s._replace(
+            q=q0,
+            qd=jnp.zeros(D, dtype=jnp.float32),
+            ctrl=q0,
+            body_pos=s.body_pos.at[target_body].set(block_pos),
+            body_quat=s.body_quat.at[target_body].set(block_rot),
+            body_linvel=jnp.zeros_like(s.body_linvel),
+            body_angvel=jnp.zeros_like(s.body_angvel),
+        )
+        return s, block_pos, block_rot
+
+    def _observe(state: OrientTaskState, fk_res):
+        """62-dim frame: the first 62 slots of the sim-observation layout
+        (`..._orient.py:1329-1341`; the reference's writes past index 62 are
+        clipped by its own 62-dim frame window)."""
+        s = state.sim
+        q, qd = s.q, s.qd
+        key, knoise = jax.random.split(state.key)
+
+        hb_pos = fk_res.pos[hand_base]
+        hb_rot = fk_res.quat[hand_base]
+        tgt_pos = s.body_pos[target_body]
+        tgt_rot = s.body_quat[target_body]
+
+        qb_inv, pb_inv = tf_inverse(base_quat_w, base_pos_w)
+        hb_rot_b, hb_pos_b = tf_combine(qb_inv, pb_inv, hb_rot, hb_pos)
+        q_cam, p_cam = tf_combine(
+            fk_res.quat[mount], fk_res.pos[mount], cam_offset_quat, cam_offset_pos
+        )
+        qc_inv, pc_inv = tf_inverse(q_cam, p_cam)
+        cam_tgt_rot, cam_tgt_pos = tf_combine(qc_inv, pc_inv, tgt_rot, tgt_pos)
+        if cfg.obs_noise:
+            nz = jax.random.uniform(knoise, (7,)) * 2 - 1
+            cam_tgt_pos = cam_tgt_pos + nz[0:3] * 0.003
+            cam_tgt_rot = cam_tgt_rot + nz[3:7] * 0.2
+
+        obs = jnp.zeros(ONE_FRAME_OBS, dtype=jnp.float32)
+        obs = obs.at[0:16].set(unscale_from_limits(q[7:23], hand_lower, hand_upper))
+        obs = obs.at[16:19].set(hb_pos_b)
+        obs = obs.at[19:23].set(hb_rot_b)
+        obs = obs.at[23:26].set(cam_tgt_pos)
+        obs = obs.at[26:30].set(cam_tgt_rot)
+        obs = obs.at[30:46].set(cfg.vel_obs_scale * qd[7:23])
+        tp = _tip_pos(fk_res)
+        obs = obs.at[46:59].set(
+            jnp.concatenate([tp[0], fk_res.quat[tips[0]], fk_res.linvel[tips[0]],
+                             fk_res.angvel[tips[0]]])
+        )
+        obs = obs.at[59:62].set(tp[2])
+
+        # 188-dim state frame (same family as grasp_sim asymmetric states)
+        idx = jnp.asarray(tips)
+        tip_rot = fk_res.quat[idx, :]
+        tip_lv = fk_res.linvel[idx, :]
+        tip_av = fk_res.angvel[idx, :]
+        finger_dist = sum(jnp.linalg.norm(tgt_pos - tp[i]) for i in range(4))
+        st = jnp.zeros(ONE_FRAME_STATES, dtype=jnp.float32)
+        st = st.at[0:23].set(unscale_from_limits(q, lower, upper))
+        st = st.at[23:46].set(cfg.vel_obs_scale * qd)
+        st = st.at[46:49].set(tp[0])
+        st = st.at[49:52].set(tp[2])
+        st = st.at[52:55].set(tp[1])
+        st = st.at[55:58].set(tp[3])
+        st = st.at[58:81].set(state.actions)
+        st = st.at[81:84].set(hb_pos)
+        st = st.at[84:88].set(hb_rot)
+        st = st.at[88:91].set(tgt_pos)
+        st = st.at[91:95].set(tgt_rot)
+        st = st.at[95:98].set(fk_res.linvel[hand_base])
+        st = st.at[98:101].set(fk_res.angvel[hand_base])
+        st = st.at[101:105].set(tip_rot[0])
+        st = st.at[105:108].set(tip_lv[0])
+        st = st.at[108:111].set(tip_av[0])
+        st = st.at[111:115].set(tip_rot[1])
+        st = st.at[115:118].set(tip_lv[1])
+        st = st.at[118:121].set(tip_av[1])
+        st = st.at[121:125].set(tip_rot[2])
+        st = st.at[125:128].set(tip_lv[2])
+        st = st.at[128:131].set(tip_av[2])
+        st = st.at[131:135].set(tip_rot[3])
+        st = st.at[135:138].set(tip_lv[3])
+        st = st.at[138:141].set(tip_av[3])
+        st = st.at[142:145].set(s.body_linvel[target_body])
+        st = st.at[145:148].set(s.body_angvel[target_body])
+        st = st.at[148:151].set(state.target_init_pos)
+        st = st.at[151:154].set(tgt_pos - state.target_init_pos)
+        st = st.at[154:157].set(hb_pos - tgt_pos)
+        st = st.at[157:161].set(quat_mul(hb_rot, quat_conjugate(tgt_rot)))
+        st = st.at[161:164].set(tgt_pos - tp[0])
+        st = st.at[164:167].set(tgt_pos - tp[2])
+        st = st.at[167:170].set(tgt_pos - tp[1])
+        st = st.at[170:173].set(tgt_pos - tp[3])
+        st = st.at[173:174].set(finger_dist[None])
+        st = st.at[174:177].set(cam_tgt_pos)
+        st = st.at[177:181].set(cam_tgt_rot)
+        return obs, st, key
+
+    def reset(key) -> OrientTaskState:
+        k0, k1 = jax.random.split(key)
+        s, bp, bq = _reset_sim(k0)
+        state = OrientTaskState(
+            sim=s,
+            key=k1,
+            progress=jnp.int32(0),
+            reset_flag=jnp.bool_(False),
+            obs_stack=jnp.zeros((STACK, ONE_FRAME_OBS), dtype=jnp.float32),
+            state_stack=jnp.zeros((STACK, ONE_FRAME_STATES), dtype=jnp.float32),
+            prev_targets=s.ctrl,
+            target_init_pos=bp,
+            target_init_rot=bq,
+            successes=jnp.float32(0.0),
+            actions=jnp.zeros(NUM_ACTIONS, dtype=jnp.float32),
+        )
+        fk_res = sim.fk(s.q, s.qd)
+        obs, st, key = _observe(state, fk_res)
+        return state._replace(
+            obs_stack=push_frame(state.obs_stack, obs),
+            state_stack=push_frame(state.state_stack, st),
+            key=key,
+        )
+
+    def step(state: OrientTaskState, action: jnp.ndarray):
+        fresh = reset(state.key)
+        state = select_tree(state.reset_flag, fresh, state)
+
+        action = clip_actions(action)
+        s = state.sim
+        fk_res = sim.fk(s.q, s.qd)
+
+        # fingers: policy-controlled (`..._orient.py:1727-1731`)
+        fingers = scale_to_limits(action[7:23], hand_lower, hand_upper)
+        fingers = (
+            cfg.action_moving_average * fingers
+            + (1.0 - cfg.action_moving_average) * state.prev_targets[7:23]
+        )
+        # arm: object-centric tracking (`:1735-1747`) — policy does NOT drive it
+        tgt_pos = s.body_pos[target_body]
+        pos_err = tgt_pos - fk_res.pos[hand_base]
+        pos_err = pos_err + jnp.asarray([-0.18, 0.0, 0.22], dtype=jnp.float32)
+        rot_err = orientation_error(target_rot_lock, fk_res.quat[hand_base])
+        dpose = jnp.concatenate([pos_err, rot_err])
+        J = sim.site_jacobian(fk_res, hand_base)[:, :7]
+        delta = control_ik(J, dpose)
+        arm_targets = s.q[:7] + delta
+
+        targets = jnp.clip(jnp.concatenate([arm_targets, fingers]), lower, upper)
+        s = s._replace(ctrl=targets)
+        s = sim.step(s)
+        prog = state.progress + 1
+        state = state._replace(sim=s, progress=prog, prev_targets=targets, actions=action)
+
+        fk2 = sim.fk(s.q, s.qd)
+        obs, st, key = _observe(state, fk2)
+        obs_stack = push_frame(state.obs_stack, obs)
+        state_stack = push_frame(state.state_stack, st)
+
+        # reward (`compute_hand_reward`, `..._orient.py:1843-1907`)
+        tp = _tip_pos(fk2)
+        tgt_pos = s.body_pos[target_body]
+        tgt_rot = s.body_quat[target_body]
+        finger_dist = (
+            jnp.linalg.norm(tgt_pos - tp[0])
+            + jnp.linalg.norm(tgt_pos - tp[1])
+            + jnp.linalg.norm(tgt_pos - tp[2])
+            + 3.0 * jnp.linalg.norm(tgt_pos - tp[3])
+        )
+        z_axis = quat_apply(tgt_rot, jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32))
+        x_axis = quat_apply(tgt_rot, jnp.asarray([1.0, 0.0, 0.0], dtype=jnp.float32))
+        z_align = jnp.sign(z_axis[2]) * z_axis[2] ** 2
+        x_align = jnp.sign(x_axis[0]) * x_axis[0] ** 2
+
+        z_err = 1.0 - (z_align + 1.0) / 2.0
+        dist_err = jnp.clip(finger_dist - 0.4, 0.0, None)
+        reward = jnp.exp(-(5.0 * z_err + 5.0 * dist_err))
+
+        face_up = jnp.where(
+            (z_align > 0.8) & ((1.0 - jnp.abs(x_align)) > 0.8), 1.0, 0.0
+        )
+        success = jnp.where(z_align > 0.8, 1.0, 0.0)
+
+        timed_out = prog >= cfg.episode_length - 1
+        done = timed_out
+
+        state = state._replace(
+            obs_stack=obs_stack,
+            state_stack=state_stack,
+            key=key,
+            reset_flag=done,
+            successes=success,
+        )
+        out = StepOutput(
+            obs=clip_obs(obs_stack.reshape(-1)),
+            states=clip_obs(state_stack.reshape(-1)),
+            reward=reward,
+            done=done,
+            info={
+                "successes": success,
+                "z_align": z_align,
+                "face_up": face_up,
+                "contact_forces": s.link_contact_force[jnp.asarray(fsr)],
+            },
+        )
+        return state, out
+
+    return Env(
+        name="BlockAssemblyOrient",
+        num_obs=ONE_FRAME_OBS * STACK,
+        num_states=ONE_FRAME_STATES * STACK,
+        num_actions=NUM_ACTIONS,
+        episode_length=cfg.episode_length,
+        reset=reset,
+        step=step,
+        sim=sim,
+    )

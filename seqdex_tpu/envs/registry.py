@@ -1,0 +1,59 @@
+"""Task registry — name -> env factory.
+
+Replaces `utils/parse_task.py:37-218` (the `eval(args.task)(cfg, ...)`
+construction): a plain dict of factories keyed by the reference task names,
+so `--task BlockAssemblyGraspSim` CLI invocations resolve identically.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(factory):
+        _REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def make(name: str, **kwargs):
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown task '{name}'; available: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name](**kwargs)
+
+
+def available():
+    return sorted(_REGISTRY)
+
+
+def _populate():
+    from .block_assembly.grasp_sim import GraspSimConfig, make_grasp_sim_env
+    from .block_assembly.insert_sim import InsertSimConfig, make_insert_sim_env
+    from .block_assembly.orient import OrientConfig, make_orient_env
+    from .block_assembly.search import SearchConfig, make_search_env
+
+    _REGISTRY.setdefault(
+        "BlockAssemblyGraspSim",
+        lambda cfg=None, **kw: make_grasp_sim_env(cfg or GraspSimConfig(**kw)),
+    )
+    _REGISTRY.setdefault(
+        "BlockAssemblyInsertSim",
+        lambda cfg=None, **kw: make_insert_sim_env(cfg or InsertSimConfig(**kw)),
+    )
+    _REGISTRY.setdefault(
+        "BlockAssemblyOrient",
+        lambda cfg=None, **kw: make_orient_env(cfg or OrientConfig(**kw)),
+    )
+    _REGISTRY.setdefault(
+        "BlockAssemblySearch",
+        lambda cfg=None, **kw: make_search_env(cfg or SearchConfig(**kw)),
+    )
+
+
+_populate()

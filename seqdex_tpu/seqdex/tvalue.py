@@ -1,0 +1,177 @@
+"""Transition feasibility (T-value) models + offline trainer.
+
+TPU-native re-implementation of `policy_sequencing/terminal_value_function.py`
+(RetriGraspTValue 650->1024->512->128->2, GraspInsertTValue 4->256->128->64->2,
+both ELU, `:12-46`) and `policy_sequencing/transition_value_trainer.py`
+(`TValue_Trainer`, `:127-248`): balanced success/failure minibatches
+(512+512), input noise + quaternion renormalisation, BCE-with-logits on
+2-logit heads, held-out validation accuracy, periodic checkpointing.
+
+Data comes from the terminal-state reservoirs (`seqdex_tpu.seqdex.reservoir`)
+instead of HDF5 dumps; `.npz` import/export covers cross-job handoff.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..rl.networks import init_mlp, mlp_apply
+
+RETRI_GRASP_HIDDEN = (1024, 512, 128)  # terminal_value_function.py:12-27
+GRASP_INSERT_HIDDEN = (256, 128, 64)  # terminal_value_function.py:30-46
+RETRI_GRASP_IN = 650  # 65-dim temporal obs x 10 frames (search.py:394-409)
+GRASP_INSERT_IN = 4  # camera-frame block quaternion
+
+
+def init_tvalue(key, in_dim: int, hidden) -> dict:
+    return init_mlp(key, in_dim, hidden, out_dim=2, out_scale=0.02)
+
+
+def init_retri_grasp_tvalue(key):
+    return init_tvalue(key, RETRI_GRASP_IN, RETRI_GRASP_HIDDEN)
+
+
+def init_grasp_insert_tvalue(key):
+    return init_tvalue(key, GRASP_INSERT_IN, GRASP_INSERT_HIDDEN)
+
+
+def tvalue_logits(params, x):
+    return mlp_apply(params, x)
+
+
+def tvalue_confidence(params, x):
+    """sigmoid of the success logit — the gate the envs threshold at 0.99
+    (`..._orient.py:1201-1203`)."""
+    return jax.nn.sigmoid(tvalue_logits(params, x))[..., 1]
+
+
+def bce_with_logits(logits, labels):
+    """labels: (..., 2) one-hot-ish floats (reference uses BCEWithLogitsLoss
+    over both logits, `transition_value_trainer.py:186`)."""
+    return jnp.mean(
+        jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class TValueTrainConfig:
+    learning_rate: float = 3e-4  # transition_value_trainer.py:183 (Adam)
+    batch_per_class: int = 512  # `:215` balanced 512/512
+    input_noise: float = 0.2  # `:216-220` additive noise before renorm
+    quat_slice: Optional[tuple] = (0, 4)  # renormalise this slice as a quaternion
+    validation: int = 100  # held-out samples per class (`:141-149`)
+
+
+class TValueTrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_tvalue_trainer(in_dim: int, hidden, cfg: TValueTrainConfig = TValueTrainConfig()):
+    optimizer = optax.adam(cfg.learning_rate)
+
+    def init(key) -> TValueTrainState:
+        params = init_tvalue(key, in_dim, hidden)
+        return TValueTrainState(params, optimizer.init(params), jnp.int32(0))
+
+    def _augment(key, x):
+        noise = (jax.random.uniform(key, x.shape) * 2 - 1) * cfg.input_noise
+        x = x + noise
+        if cfg.quat_slice is not None and in_dim >= cfg.quat_slice[1]:
+            a, b = cfg.quat_slice
+            q = x[..., a:b]
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+            x = x.at[..., a:b].set(q)
+        return x
+
+    def train_step(ts: TValueTrainState, key, succ_batch, fail_batch):
+        """succ_batch/fail_batch: (batch_per_class, in_dim)."""
+        k1, k2 = jax.random.split(key)
+        xs = jnp.concatenate([_augment(k1, succ_batch), _augment(k2, fail_batch)])
+        labels = jnp.concatenate(
+            [
+                jnp.tile(jnp.asarray([0.0, 1.0]), (succ_batch.shape[0], 1)),
+                jnp.tile(jnp.asarray([1.0, 0.0]), (fail_batch.shape[0], 1)),
+            ]
+        )
+
+        def loss_fn(params):
+            return bce_with_logits(tvalue_logits(params, xs), labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(ts.params)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        return TValueTrainState(params, opt_state, ts.step + 1), loss
+
+    def accuracy(params, xs, labels_binary):
+        """labels_binary: (N,) 1 = success."""
+        conf = tvalue_confidence(params, xs)
+        pred = (conf > 0.5).astype(jnp.float32)
+        return jnp.mean(pred == labels_binary)
+
+    return init, jax.jit(train_step), jax.jit(accuracy)
+
+
+def train_offline(
+    succ: np.ndarray,
+    fail: np.ndarray,
+    in_dim: int,
+    hidden,
+    rollouts: int = 10000,
+    seed: int = 0,
+    cfg: TValueTrainConfig = TValueTrainConfig(),
+    eval_every: int = 1000,
+    ckpt_dir: Optional[str] = None,
+    log=print,
+):
+    """Offline training mirror of `TValue_Trainer.train_rollout`
+    (`transition_value_trainer.py:209-248`): sample balanced batches, train,
+    periodically report held-out accuracy and checkpoint."""
+    init, train_step, accuracy = make_tvalue_trainer(in_dim, hidden, cfg)
+    key = jax.random.PRNGKey(seed)
+    key, kinit = jax.random.split(key)
+    ts = init(kinit)
+
+    nval = min(cfg.validation, len(succ) // 4, len(fail) // 4)
+    val_x = jnp.asarray(np.concatenate([succ[:nval], fail[:nval]]), dtype=jnp.float32)
+    val_y = jnp.concatenate([jnp.ones(nval), jnp.zeros(nval)])
+    succ_t = jnp.asarray(succ[nval:], dtype=jnp.float32)
+    fail_t = jnp.asarray(fail[nval:], dtype=jnp.float32)
+
+    acc = 0.0
+    for it in range(rollouts):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        si = jax.random.randint(k1, (cfg.batch_per_class,), 0, succ_t.shape[0])
+        fi = jax.random.randint(k2, (cfg.batch_per_class,), 0, fail_t.shape[0])
+        ts, loss = train_step(ts, k3, succ_t[si], fail_t[fi])
+        if (it + 1) % eval_every == 0:
+            acc = float(accuracy(ts.params, val_x, val_y))
+            log(f"tvalue it={it + 1} loss={float(loss):.4f} val_acc={acc:.3f}")
+            if ckpt_dir:
+                os.makedirs(ckpt_dir, exist_ok=True)
+                save_tvalue(
+                    os.path.join(ckpt_dir, f"tvalue_{it + 1}_{acc:.3f}.npz"), ts.params
+                )
+    return ts, acc
+
+
+def save_tvalue(path: str, params: dict):
+    flat, treedef = jax.tree_util.tree_flatten(params)
+    np.savez(path, *[np.asarray(x) for x in flat])
+
+
+def load_tvalue(path: str, in_dim: int, hidden) -> dict:
+    template = init_tvalue(jax.random.PRNGKey(0), in_dim, hidden)
+    flat, treedef = jax.tree_util.tree_flatten(template)
+    data = np.load(path)
+    loaded = [jnp.asarray(data[k]) for k in data.files]
+    assert len(loaded) == len(flat), "checkpoint/topology mismatch"
+    return jax.tree_util.tree_unflatten(treedef, loaded)

@@ -50,6 +50,13 @@ class SimState(NamedTuple):
     # diagnostics from the last substep
     link_contact_force: jnp.ndarray  # (L,) net contact force magnitude per link
     body_contact_force: jnp.ndarray  # (B,)
+    # per-env domain-randomization scales (identity by default; sampled by
+    # the DR engine, `envs/randomization.py` — mirrors base_task.py:229-423)
+    kp_scale: jnp.ndarray = None  # (D,)
+    kd_scale: jnp.ndarray = None  # (D,)
+    mu_scale: jnp.ndarray = None  # ()
+    mass_scale: jnp.ndarray = None  # ()
+    gravity_offset: jnp.ndarray = None  # (3,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,22 +148,30 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             body_angvel=jnp.zeros((B, 3), dtype=jnp.float32),
             link_contact_force=jnp.zeros(L, dtype=jnp.float32),
             body_contact_force=jnp.zeros(B, dtype=jnp.float32),
+            kp_scale=jnp.ones(D, dtype=jnp.float32),
+            kd_scale=jnp.ones(D, dtype=jnp.float32),
+            mu_scale=jnp.ones((), dtype=jnp.float32),
+            mass_scale=jnp.ones((), dtype=jnp.float32),
+            gravity_offset=jnp.zeros(3, dtype=jnp.float32),
         )
 
     def substep(state: SimState) -> SimState:
         fk_res = fk(state.q, state.qd)
         M = mass_matrix(fk_res)
         bias = bias_forces(fk_res, state.qd)
-        # implicit PD (see module docstring)
-        tau_spring = jnp.clip(kp * (state.ctrl - state.q), -effort, effort)
-        Mt = M + jnp.diag(h * (kd + joint_damping) + h * h * kp)
+        # implicit PD (see module docstring); DR scales on drive gains
+        kp_e = kp * state.kp_scale
+        kd_e = kd * state.kd_scale
+        tau_spring = jnp.clip(kp_e * (state.ctrl - state.q), -effort, effort)
+        Mt = M + jnp.diag(h * (kd_e + joint_damping) + h * h * kp_e)
         chol = jax.scipy.linalg.cho_factor(Mt)
         rhs = M @ state.qd + h * (tau_spring - bias)
         qd_free = jax.scipy.linalg.cho_solve(chol, rhs)
 
-        # free bodies: gravity + gyroscopic
+        # free bodies: gravity + gyroscopic (DR gravity offset / mass scale)
+        g_eff = g + state.gravity_offset
         grav = jnp.where(body_kinematic[:, None] | (inv_mass_b == 0.0)[:, None], 0.0,
-                         jnp.broadcast_to(g, (B, 3)))
+                         jnp.broadcast_to(g_eff, (B, 3)))
         v_free = state.body_linvel + h * grav
         R = quat_to_matrix(state.body_quat)  # (B, 3, 3)
         Iw = jnp.einsum("bij,bjk,blk->bil", R, inertia_b, R)
@@ -167,6 +182,7 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
 
         # contacts
         contacts = narrowphase(fk_res.pos, fk_res.quat, state.body_pos, state.body_quat)
+        contacts = contacts._replace(friction=contacts.friction * state.mu_scale)
         k_pt = contacts.pt_idx
         k_col = contacts.col_idx
         # robot jacobian rows: (point side) minus (collider side)
@@ -216,6 +232,7 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             v_col_body = jnp.zeros_like(contacts.pos)
         v_rel = (v_pt_robot + v_pt_body) - (v_col_robot + v_col_body)
 
+        inv_mass_eff = inv_mass_b / state.mass_scale
         sol = solve_contact_qp(
             contacts,
             J_robot,
@@ -225,8 +242,8 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             r_col,
             v_rel,
             chol,
-            inv_mass_b,
-            Iw_inv if B > 0 else jnp.zeros((0, 3, 3), dtype=jnp.float32),
+            inv_mass_eff,
+            (Iw_inv / state.mass_scale) if B > 0 else jnp.zeros((0, 3, 3), dtype=jnp.float32),
             dt=h,
             baumgarte=config.baumgarte,
             compliance=config.compliance,
