@@ -67,6 +67,10 @@ class GraspSimConfig:
     solver_iterations: int = 16
     max_contacts: int = 48
     obs_noise: bool = True
+    # random-force fault injection (reference `forceScale`/`forceProbRange`
+    # decay model, `..._grasp_sim.py:129-132`, applied `search.py:1578-1589`)
+    force_scale: float = 0.0
+    force_prob: float = 0.05
 
 
 class GraspTaskState(NamedTuple):
@@ -357,6 +361,16 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
         targets = jnp.clip(targets, lower, upper)
 
         s = s._replace(ctrl=targets)
+        if cfg.force_scale > 0.0:
+            kf, kp_ = jax.random.split(state.key)
+            state = state._replace(key=kp_)
+            kick = jax.random.normal(kf, (3,)) * cfg.force_scale
+            fire = (jax.random.uniform(jax.random.fold_in(kf, 1), ()) < cfg.force_prob)
+            s = s._replace(
+                body_linvel=s.body_linvel.at[target_body].add(
+                    jnp.where(fire, kick, 0.0)
+                )
+            )
         s = sim.step(s)
         prog = prog + 1
 

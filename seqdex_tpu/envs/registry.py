@@ -55,5 +55,15 @@ def _populate():
         lambda cfg=None, **kw: make_search_env(cfg or SearchConfig(**kw)),
     )
 
+    from .tool_positioning.tool_envs import (
+        make_tool_chain_env,
+        make_tool_grasp_env,
+        make_tool_orient_env,
+    )
+
+    _REGISTRY.setdefault("ToolPositioningGrasp", lambda **kw: make_tool_grasp_env(**kw))
+    _REGISTRY.setdefault("ToolPositioningOrient", lambda **kw: make_tool_orient_env(**kw))
+    _REGISTRY.setdefault("ToolPositioningChain", lambda **kw: make_tool_chain_env(**kw))
+
 
 _populate()

@@ -5,17 +5,21 @@ TPU-native replacement for the PhysX TGS contact solver the reference runs
 `utils/config.py:198-204`, `cfg/allegro_hand_block_assembly_grasp_sim.yaml`).
 
 Design:
-* Narrowphase = dense (points x colliders) signed-distance evaluation with a
-  static pair mask, followed by a static top-K selection of the deepest
-  candidates. Fixed shapes end-to-end — the TPU analog of PhysX's capped
+* Narrowphase = dense (colliders x points) signed-distance evaluation with a
+  static pair mask, then per-point best-2 collider selection and a static
+  top-K. Fixed shapes end-to-end — the TPU analog of PhysX's capped
   contact-pair buffer.
 * Solver = velocity-level convex QP over contact impulses with isotropic
   Coulomb cones (the "contact QP" of the build spec):
       min_l  1/2 l^T (A + R) l + l^T b     s.t.  l in cone(mu)
-  solved by diagonally preconditioned projected-Jacobi iterations — fully
-  parallel over contacts (no Gauss-Seidel serialization), MXU-friendly
-  (A is a dense 3K x 3K Delassus matrix per env).
-* Baumgarte stabilization enters through b; compliance R softens stacking.
+  solved by row-sum-preconditioned projected-Jacobi iterations — fully
+  parallel over contacts, MXU-friendly (A is a dense 3K x 3K Delassus).
+
+Layout notes (the hot-path discipline): TPU tiles the two minor dims to
+(8, 128) fp32, so every narrowphase array keeps the big point axis LAST
+((C, P), components as separate planes — SoA), and the solver flattens all
+(K, 3, ...) tensors to (3K, ...) matrices before any contraction. Writing
+this with (..., 3)-trailing AoS shapes costs >10x in padded HBM traffic.
 
 All shapes static; everything vmaps over the env axis.
 """
@@ -29,27 +33,9 @@ import jax.numpy as jnp
 
 HI = jax.lax.Precision.HIGHEST
 
-from ..core.math import quat_apply, quat_conjugate, skew
+from ..core.math import quat_apply, quat_to_matrix
 from ..core.model import GEOM_BOX, GEOM_PLANE, GEOM_SPHERE
 from .scene import OWNER_BODY, OWNER_LINK, OWNER_STATIC, CompiledScene
-
-
-def box_sdf_normal(p, half):
-    """SDF + outward world(-frame-of-box) normal of an axis-aligned box.
-
-    p: (..., 3) point in box frame; half: (..., 3). Branch-free.
-    """
-    q = jnp.abs(p) - half
-    qp = jnp.maximum(q, 0.0)
-    outside = jnp.linalg.norm(qp, axis=-1)
-    max_in = jnp.max(q, axis=-1)
-    sdf = outside + jnp.minimum(max_in, 0.0)
-    sgn = jnp.where(p >= 0, 1.0, -1.0)
-    n_out = qp * sgn / jnp.maximum(outside, 1e-9)[..., None]
-    inside_axis = jnp.argmax(q, axis=-1)
-    n_in = jax.nn.one_hot(inside_axis, 3, dtype=p.dtype) * sgn
-    n = jnp.where((outside > 1e-9)[..., None], n_out, n_in)
-    return sdf, n
 
 
 class ContactSet(NamedTuple):
@@ -71,19 +57,18 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
     pt_offset = jnp.asarray(scene.pt_offset, dtype=jnp.float32)
     pt_radius = jnp.asarray(scene.pt_radius, dtype=jnp.float32)
     pt_friction = jnp.asarray(scene.pt_friction, dtype=jnp.float32)
-    col_kind = scene.col_kind  # host ints — used for static branch selection
+    col_kind = scene.col_kind  # host ints
     col_owner_kind = jnp.asarray(scene.col_owner_kind)
     col_owner = jnp.asarray(scene.col_owner)
     col_pos = jnp.asarray(scene.col_pos, dtype=jnp.float32)
     col_quat = jnp.asarray(scene.col_quat, dtype=jnp.float32)
     col_size = jnp.asarray(scene.col_size, dtype=jnp.float32)
     col_friction = jnp.asarray(scene.col_friction, dtype=jnp.float32)
-    pair_mask = jnp.asarray(scene.pair_mask)
+    pair_mask_T = jnp.asarray(scene.pair_mask.T)  # (C, P)
     K = max_contacts
 
-    is_box = jnp.asarray(col_kind == GEOM_BOX)
-    is_sphere = jnp.asarray(col_kind == GEOM_SPHERE)
-    is_plane = jnp.asarray(col_kind == GEOM_PLANE)
+    is_box = jnp.asarray((col_kind == GEOM_BOX)[:, None])  # (C, 1)
+    is_sphere = jnp.asarray((col_kind == GEOM_SPHERE)[:, None])
 
     def point_world(fk_pos, fk_quat, body_pos, body_quat):
         """World positions of all contact points. (P, 3)"""
@@ -98,13 +83,15 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
 
     def collider_world(fk_pos, fk_quat, body_pos, body_quat):
         """World pose of all colliders. ((C,3), (C,4))"""
+        from ..core.math import quat_mul
+
         lk = jnp.clip(col_owner, 0, fk_pos.shape[0] - 1)
         bk = jnp.clip(col_owner, 0, max(body_pos.shape[0] - 1, 0))
         p_link = fk_pos[lk] + quat_apply(fk_quat[lk], col_pos)
-        q_link = _qmul(fk_quat[lk], col_quat)
+        q_link = quat_mul(fk_quat[lk], col_quat)
         if body_pos.shape[0] > 0:
             p_body = body_pos[bk] + quat_apply(body_quat[bk], col_pos)
-            q_body = _qmul(body_quat[bk], col_quat)
+            q_body = quat_mul(body_quat[bk], col_quat)
         else:
             p_body, q_body = p_link, q_link
         kind = col_owner_kind[:, None]
@@ -117,34 +104,84 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
     def narrowphase(fk_pos, fk_quat, body_pos, body_quat) -> ContactSet:
         pw = point_world(fk_pos, fk_quat, body_pos, body_quat)  # (P, 3)
         cp, cq = collider_world(fk_pos, fk_quat, body_pos, body_quat)
-        # point in each collider frame: (P, C, 3)
-        rel = pw[:, None, :] - cp[None, :, :]
-        p_local = quat_apply(quat_conjugate(cq)[None, :, :], rel)
-        # box sdf
-        sdf_box, n_box = box_sdf_normal(p_local, col_size[None, :, :])
-        # sphere sdf
-        r_loc = jnp.linalg.norm(p_local, axis=-1)
-        sdf_sph = r_loc - col_size[None, :, 0]
-        n_sph = p_local / jnp.maximum(r_loc, 1e-9)[..., None]
-        # plane z=0 (in collider frame, normal +z)
-        sdf_pln = p_local[..., 2]
-        n_pln = jnp.broadcast_to(
-            jnp.array([0.0, 0.0, 1.0], dtype=pw.dtype), p_local.shape
-        )
-        sdf = jnp.where(is_box[None, :], sdf_box,
-                        jnp.where(is_sphere[None, :], sdf_sph, sdf_pln))
-        n_local = jnp.where(is_box[None, :, None], n_box,
-                            jnp.where(is_sphere[None, :, None], n_sph, n_pln))
-        depth = pt_radius[:, None] - sdf  # (P, C)
-        depth = jnp.where(pair_mask, depth, -1e9)
-        # static top-K deepest candidates
-        flat = depth.reshape(-1)
-        top_depth, top_idx = jax.lax.top_k(flat, K)
-        pidx = top_idx // C
-        cidx = top_idx % C
-        n_world = quat_apply(cq[cidx], n_local[pidx, cidx])
-        # contact position: point surface projected onto collider
-        pos = pw[pidx] - n_world * (pt_radius[pidx] + jnp.maximum(top_depth, 0.0) * 0.5)[:, None]
+        Rc = quat_to_matrix(cq)  # (C, 3, 3)
+
+        # SoA: point coordinates in every collider frame, planes of (C, P)
+        pwT = pw.T  # (3, P)
+        # local = Rc^T (pw - cp):  l[c, i, :] = sum_j Rc[c, j, i] * (pwT[j] - cp[c, j])
+        rel = pwT[None, :, :] - cp[:, :, None]  # (C, 3, P)
+        lx = (Rc[:, 0, 0, None] * rel[:, 0] + Rc[:, 1, 0, None] * rel[:, 1]
+              + Rc[:, 2, 0, None] * rel[:, 2])  # (C, P)
+        ly = (Rc[:, 0, 1, None] * rel[:, 0] + Rc[:, 1, 1, None] * rel[:, 1]
+              + Rc[:, 2, 1, None] * rel[:, 2])
+        lz = (Rc[:, 0, 2, None] * rel[:, 0] + Rc[:, 1, 2, None] * rel[:, 1]
+              + Rc[:, 2, 2, None] * rel[:, 2])
+
+        hx = col_size[:, 0, None]
+        hy = col_size[:, 1, None]
+        hz = col_size[:, 2, None]
+
+        # box SDF + normal (branch-free, SoA planes)
+        qx, qy, qz = jnp.abs(lx) - hx, jnp.abs(ly) - hy, jnp.abs(lz) - hz
+        qxp, qyp, qzp = jnp.maximum(qx, 0.0), jnp.maximum(qy, 0.0), jnp.maximum(qz, 0.0)
+        outside = jnp.sqrt(qxp * qxp + qyp * qyp + qzp * qzp)
+        max_in = jnp.maximum(qx, jnp.maximum(qy, qz))
+        sdf_box = outside + jnp.minimum(max_in, 0.0)
+        sx = jnp.where(lx >= 0, 1.0, -1.0)
+        sy = jnp.where(ly >= 0, 1.0, -1.0)
+        sz = jnp.where(lz >= 0, 1.0, -1.0)
+        inv_out = 1.0 / jnp.maximum(outside, 1e-9)
+        # outside normal
+        nbx_o, nby_o, nbz_o = qxp * sx * inv_out, qyp * sy * inv_out, qzp * sz * inv_out
+        # inside normal: face of max penetration
+        in_x = (qx >= qy) & (qx >= qz)
+        in_y = (~in_x) & (qy >= qz)
+        in_z = ~(in_x | in_y)
+        use_out = outside > 1e-9
+        nbx = jnp.where(use_out, nbx_o, jnp.where(in_x, sx, 0.0))
+        nby = jnp.where(use_out, nby_o, jnp.where(in_y, sy, 0.0))
+        nbz = jnp.where(use_out, nbz_o, jnp.where(in_z, sz, 0.0))
+
+        # sphere SDF
+        r_loc = jnp.sqrt(lx * lx + ly * ly + lz * lz)
+        sdf_sph = r_loc - hx
+        inv_r = 1.0 / jnp.maximum(r_loc, 1e-9)
+        nsx, nsy, nsz = lx * inv_r, ly * inv_r, lz * inv_r
+
+        # plane z=0
+        sdf_pln = lz
+
+        sdf = jnp.where(is_box, sdf_box, jnp.where(is_sphere, sdf_sph, sdf_pln))
+        nx = jnp.where(is_box, nbx, jnp.where(is_sphere, nsx, 0.0))
+        ny = jnp.where(is_box, nby, jnp.where(is_sphere, nsy, 0.0))
+        nz = jnp.where(is_box, nbz, jnp.where(is_sphere, nsz, 1.0))
+
+        depth = pt_radius[None, :] - sdf  # (C, P)
+        depth = jnp.where(pair_mask_T, depth, -1e9)
+
+        # per-point best-2 colliders (reduce over the C axis), then top-K over
+        # 2P candidates — no full sort of the P*C grid. A point in deep
+        # simultaneous contact with 3+ colliders drops its 3rd contact.
+        c1 = jnp.argmax(depth, axis=0)  # (P,)
+        d1 = jnp.max(depth, axis=0)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, depth.shape, 0)
+        depth2 = jnp.where(row_iota == c1[None, :], -1e9, depth)
+        c2 = jnp.argmax(depth2, axis=0)
+        d2 = jnp.max(depth2, axis=0)
+        cand_depth = jnp.concatenate([d1, d2])  # (2P,)
+        cand_col = jnp.concatenate([c1, c2])
+        top_depth, top_i = jax.lax.top_k(cand_depth, K)
+        pidx = top_i % P
+        cidx = cand_col[top_i]
+
+        # gather normals (local) for the K winners, rotate to world
+        n_local = jnp.stack(
+            [nx[cidx, pidx], ny[cidx, pidx], nz[cidx, pidx]], axis=-1
+        )  # (K, 3)
+        n_world = jnp.einsum("kij,kj->ki", Rc[cidx], n_local, precision=HI)
+        pos = pw[pidx] - n_world * (
+            pt_radius[pidx] + jnp.maximum(top_depth, 0.0) * 0.5
+        )[:, None]
         mu = 0.5 * (pt_friction[pidx] + col_friction[cidx])
         return ContactSet(
             depth=top_depth,
@@ -159,15 +196,8 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
     return narrowphase, point_world
 
 
-def _qmul(a, b):
-    from ..core.math import quat_mul
-
-    return quat_mul(a, b)
-
-
 def _tangent_basis(n):
     """Two unit tangents orthogonal to n: (..., 3) -> ((..., 3), (..., 3))."""
-    # pick helper axis least aligned with n
     h = jnp.where(
         (jnp.abs(n[..., 0]) < 0.7)[..., None],
         jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=n.dtype), n.shape),
@@ -189,7 +219,6 @@ def project_cone(lam, mu):
     tn = jnp.linalg.norm(lt, axis=-1)
     inside = tn <= mu * ln
     below = mu * tn <= -ln  # polar cone -> zero
-    # projection onto cone boundary
     scale = jnp.maximum(mu * tn + ln, 0.0) / (mu**2 + 1.0)
     ln_p = scale
     lt_dir = lt / jnp.maximum(tn, 1e-9)[..., None]
@@ -200,7 +229,7 @@ def project_cone(lam, mu):
 
 
 class SolveResult(NamedTuple):
-    impulses: jnp.ndarray  # (K, 3) world contact impulses in (n, t1, t2) basis
+    impulses: jnp.ndarray  # (K, 3) contact impulses in (n, t1, t2) basis
     force_world: jnp.ndarray  # (K, 3) impulse vector in world coords
     dqd: jnp.ndarray  # (D,) robot velocity change
     dbody_v: jnp.ndarray  # (B, 3)
@@ -209,14 +238,13 @@ class SolveResult(NamedTuple):
 
 def solve_contact_qp(
     contacts: ContactSet,
-    # contact jacobian pieces
-    J_robot: jnp.ndarray,  # (K, 3, D) robot dof rows (0 where robot uninvolved)
+    J_planes,  # (Jx, Jy, Jz): (D, K) SoA robot point-jacobian planes
     body_idx_pt: jnp.ndarray,  # (K,) body index of point owner or -1
     body_idx_col: jnp.ndarray,  # (K,) body index of collider owner or -1
     r_pt: jnp.ndarray,  # (K, 3) contact pos - body com (point side)
     r_col: jnp.ndarray,  # (K, 3) collider side
-    v_rel: jnp.ndarray,  # (K, 3) world relative velocity (point - collider) at contact
-    chol_M,  # cho_factor of the (implicitly damped) robot mass matrix
+    v_rel: jnp.ndarray,  # (K, 3) world relative velocity (point - collider)
+    inv_M,  # (D, D) inverse of the (implicitly damped) robot mass matrix
     inv_mass_b: jnp.ndarray,  # (B,)
     inv_inertia_w: jnp.ndarray,  # (B, 3, 3) world-frame inverse inertia
     *,
@@ -226,78 +254,82 @@ def solve_contact_qp(
     iterations: int,
     max_depenetration_vel: float = 0.5,
 ):
-    """Solve the contact impulse QP (see module docstring). Per-env."""
+    """Solve the contact impulse QP (see module docstring). Per-env.
+
+    Flattened contact index is BASIS-MAJOR: row b*K + k (b in {n, t1, t2}).
+    This keeps every (3, K)-shaped plane reshaping to (3K,) without
+    transposes through padded minor dims."""
     K = contacts.depth.shape[0]
     B = inv_mass_b.shape[0]
+    Jx, Jy, Jz = J_planes
+    D = Jx.shape[0]
     n = contacts.normal
     t1, t2 = _tangent_basis(n)
     basis = jnp.stack([n, t1, t2], axis=1)  # (K, 3basis, 3world)
+    # Bm[w, b, k] = basis[k, b, w] — world-component planes
+    Bm = jnp.transpose(basis, (2, 1, 0))  # (3w, 3b, K)
 
-    # Contact-frame jacobian rows J_c = basis @ (J_pt - J_col).
-    # Robot part: (K, 3, D)
-    Jr = jnp.einsum("kbw,kwd->kbd", basis, J_robot, precision=HI)
-    # Body parts enter via per-body index one-hots (B small).
-    onehot_pt = jax.nn.one_hot(body_idx_pt, B, dtype=n.dtype)  # (K, B) 0 rows for -1
-    onehot_col = jax.nn.one_hot(body_idx_col, B, dtype=n.dtype)
+    # robot jacobian in contact frame, transposed layout: (D, 3K) basis-major
+    # JrT[d, b*K+k] = sum_w basis[k,b,w] * Jw[d,k]
+    JrT = (
+        Bm[0].reshape(1, 3, K) * Jx[:, None, :]
+        + Bm[1].reshape(1, 3, K) * Jy[:, None, :]
+        + Bm[2].reshape(1, 3, K) * Jz[:, None, :]
+    ).reshape(D, 3 * K)
+    WrT = jnp.dot(inv_M, JrT, precision=HI)  # (D, 3K)
+    A = jnp.dot(JrT.T, WrT, precision=HI)  # (3K, 3K)
 
-    # W = M^-1 J^T for the robot block: (K, 3, D)
-    D = Jr.shape[-1]
-    Wr = jax.scipy.linalg.cho_solve(chol_M, Jr.reshape(-1, D).T).T.reshape(K, 3, D)
-
-    # Delassus: robot block + body blocks
-    A = jnp.einsum("kbd,lcd->kblc", Jr, Wr, precision=HI)  # (K, 3, K, 3)
-
-    # Body contributions, for each (point-side, collider-side) combination:
-    # lin: basis·basis' * invm[shared body]; ang: (r x basis)^T Iinv (r' x basis')
     if B > 0:
-        for oa, ra, sa in ((onehot_pt, r_pt, 1.0), (onehot_col, r_col, -1.0)):
-            for ob, rb, sb in ((onehot_pt, r_pt, 1.0), (onehot_col, r_col, -1.0)):
-                share = oa @ (ob * inv_mass_b[None, :]).T  # (K, K) invm if same body
-                lin = jnp.einsum("kbw,lcw->kblc", basis, basis, precision=HI) * share[:, None, :, None]
-                rxb_a = jnp.cross(ra[:, None, :], basis)
-                rxb_b = jnp.cross(rb[:, None, :], basis)
-                Iinv_a = jnp.einsum("kb,bxy->kxy", oa, inv_inertia_w)
-                share_b = oa @ ob.T
-                ang = jnp.einsum("kbx,kxy,lcy->kblc", rxb_a, Iinv_a, rxb_b, precision=HI)
-                ang = ang * share_b[:, None, :, None]
-                A = A + (sa * sb) * (lin + ang)
+        onehot_pt = jax.nn.one_hot(body_idx_pt, B, dtype=n.dtype)  # (K, B)
+        onehot_col = jax.nn.one_hot(body_idx_col, B, dtype=n.dtype)
+        # signed involvement: a contact pushes its point-side body and pulls
+        # its collider-side body — one pass instead of a (pt,col)^2 loop
+        sigma = onehot_pt - onehot_col  # (K, B)
+        B_f = Bm.reshape(3, 3 * K)  # (3w, 3K)
+        bb = jnp.dot(B_f.T, B_f, precision=HI)  # (3K, 3K)
+        T = jnp.dot(sigma * inv_mass_b[None, :], sigma.T, precision=HI)  # (K, K)
+        A = A + bb * jnp.tile(T, (3, 3))
+        # rotational: per-body signed arm jacobians H_b = oh_pt*rxb_pt - oh_col*rxb_col
+        rxb_pt = jnp.cross(r_pt[:, None, :], basis)  # (K, 3b, 3w)
+        rxb_col = jnp.cross(r_col[:, None, :], basis)
+        Rm_pt = jnp.transpose(rxb_pt, (2, 1, 0)).reshape(1, 3, 3 * K)  # (1, 3w, 3K)
+        Rm_col = jnp.transpose(rxb_col, (2, 1, 0)).reshape(1, 3, 3 * K)
+        oh_pt_cols = jnp.tile(onehot_pt.T, (1, 3)).reshape(B, 1, 3 * K)
+        oh_col_cols = jnp.tile(onehot_col.T, (1, 3)).reshape(B, 1, 3 * K)
+        H = oh_pt_cols * Rm_pt - oh_col_cols * Rm_col  # (B, 3w, 3K)
+        A = A + jnp.einsum("bxm,bxy,byn->mn", H, inv_inertia_w, H, precision=HI)
 
-    A = A.reshape(3 * K, 3 * K)
     act = contacts.active
-    # rhs: relative velocity in contact frame + Baumgarte bias
-    b = jnp.einsum("kbw,kw->kb", basis, v_rel)  # (K, 3)
-    bias = jnp.minimum(baumgarte / dt * jnp.maximum(contacts.depth, 0.0),
-                       max_depenetration_vel)
-    b = b.at[:, 0].add(-bias)
-    b = b.reshape(3 * K)
+    b3 = jnp.einsum("wbk,kw->bk", Bm, v_rel, precision=HI)  # (3b, K)
+    bias = jnp.minimum(
+        baumgarte / dt * jnp.maximum(contacts.depth, 0.0), max_depenetration_vel
+    )
+    b = b3.at[0].add(-bias).reshape(3 * K)
 
     reg = compliance
-    # Projected-Jacobi step size: row-sum (infinity-norm) scaling so the
-    # parallel update contracts even when many contacts couple through one
-    # body (plain 1/diag diverges there).
-    act_cols = jnp.repeat(act, 3)
-    row_sum = jnp.sum(jnp.abs(A) * act_cols[None, :], axis=1)  # (3K,)
-    row_sum = jnp.max(row_sum.reshape(K, 3), axis=-1)  # (K,)
+    act_cols = jnp.tile(act, 3)
+    row_sum = jnp.sum(jnp.abs(A) * act_cols[None, :], axis=1)
+    row_sum = jnp.max(row_sum.reshape(3, K), axis=0)  # (K,)
     alpha = 1.0 / (jnp.maximum(row_sum, 1e-6) + reg)
     mu = jnp.where(act, contacts.friction, 0.0)
 
     def body_fn(_, lam):
-        g = (jnp.dot(A, lam, precision=HI) + reg * lam + b).reshape(K, 3)
-        lam2 = lam.reshape(K, 3) - alpha[:, None] * g
-        lam2 = project_cone(lam2, mu)
-        lam2 = jnp.where(act[:, None], lam2, 0.0)
+        g = (jnp.dot(A, lam, precision=HI) + reg * lam + b).reshape(3, K)
+        lam2 = lam.reshape(3, K) - alpha[None, :] * g
+        lam2 = project_cone(lam2.T, mu).T  # cone math on (K, 3) view
+        lam2 = jnp.where(act[None, :], lam2, 0.0)
         return lam2.reshape(3 * K)
 
     lam = jax.lax.fori_loop(0, iterations, body_fn, jnp.zeros(3 * K, dtype=b.dtype))
-    lam_k = lam.reshape(K, 3)
-    f_world = jnp.einsum("kb,kbw->kw", lam_k, basis)  # (K, 3) impulses, world
+    lam3 = lam.reshape(3, K)  # basis-major
+    lam_k = lam3.T  # (K, 3)
+    f_world = jnp.einsum("wbk,bk->kw", Bm, lam3, precision=HI)  # (K, 3)
 
-    # velocity updates
-    dqd = jnp.einsum("kbd,kb->d", Wr, lam_k, precision=HI)
+    dqd = jnp.dot(WrT, lam, precision=HI)  # (D,)
     if B > 0:
         dbody_v = jnp.einsum("kb,kw->bw", onehot_pt * inv_mass_b[None, :], f_world) - \
                   jnp.einsum("kb,kw->bw", onehot_col * inv_mass_b[None, :], f_world)
-        tq_pt = jnp.cross(r_pt, f_world)  # (K, 3)
+        tq_pt = jnp.cross(r_pt, f_world)
         tq_col = jnp.cross(r_col, f_world)
         tq = jnp.einsum("kb,kw->bw", onehot_pt, tq_pt) - jnp.einsum(
             "kb,kw->bw", onehot_col, tq_col

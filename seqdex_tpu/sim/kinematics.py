@@ -163,7 +163,31 @@ def make_kinematics(art: Articulation):
         mask = anc[link_idx]  # (N, D)
         return jnp.swapaxes(lever * mask[..., None], 1, 2)  # (N, 3, D)
 
-    return fk, site_jacobian, point_jacobian_tau, point_velocity, point_jacobian_rows
+    def point_jacobian_planes(fk_res: FkResult, link_idx: jnp.ndarray,
+                              p_w: jnp.ndarray, scale: jnp.ndarray = None):
+        """SoA translational point Jacobians: (Jx, Jy, Jz), each (D, N).
+
+        Same content as `point_jacobian_rows` but laid out with the big
+        contact axis LAST so the TPU (8, 128) tiling pads nothing material
+        (the AoS (N, D, 3) form pads its minor dims >40x). `scale` optionally
+        multiplies per-point columns (masking)."""
+        a = fk_res.dof_axis_w  # (D, 3)
+        o = fk_res.dof_origin_w  # (D, 3)
+        mask = anc[link_idx].T  # (D, N)
+        if scale is not None:
+            mask = mask * scale[None, :]
+        # rel components, (D, N)
+        rx = p_w[None, :, 0] - o[:, 0, None]
+        ry = p_w[None, :, 1] - o[:, 1, None]
+        rz = p_w[None, :, 2] - o[:, 2, None]
+        ax, ay, az = a[:, 0, None], a[:, 1, None], a[:, 2, None]
+        jx = (ay * rz - az * ry) * mask
+        jy = (az * rx - ax * rz) * mask
+        jz = (ax * ry - ay * rx) * mask
+        return jx, jy, jz
+
+    return (fk, site_jacobian, point_jacobian_tau, point_velocity,
+            point_jacobian_rows, point_jacobian_planes)
 
 
 def make_dynamics(art: Articulation, gravity=(0.0, 0.0, -9.81)):

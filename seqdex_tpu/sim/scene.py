@@ -193,18 +193,12 @@ def compile_scene(
             col_owner_entry.append(ei)
 
     P, C = len(pt_owner), len(col_kind)
-    pair_mask = np.ones((P, C), dtype=bool)
-    for p in range(P):
-        for c in range(C):
-            same_entry = pt_owner_entry[p] == col_owner_entry[c]
-            same_owner = (
-                pt_owner_kind[p] == col_owner_kind[c] and pt_owner[p] == col_owner[c]
-            )
-            same_group = (
-                pt_group[p] >= 0 and col_group[c] >= 0 and pt_group[p] == col_group[c]
-            )
-            if same_entry or same_owner or same_group:
-                pair_mask[p, c] = False
+    from ..native import build_pair_mask
+
+    pair_mask = build_pair_mask(
+        pt_owner_entry, pt_owner_kind, pt_owner, pt_group,
+        col_owner_entry, col_owner_kind, col_owner, col_group,
+    ) if P * C > 0 else np.ones((P, C), dtype=bool)
 
     return CompiledScene(
         art=art,

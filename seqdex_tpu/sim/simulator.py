@@ -105,9 +105,8 @@ class Simulator(NamedTuple):
 def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
     art = scene.art
     D, B, L = art.ndof, scene.nbodies, art.nlinks
-    fk, site_jacobian, point_jacobian_tau, point_velocity, point_jacobian_rows = (
-        make_kinematics(art)
-    )
+    (fk, site_jacobian, point_jacobian_tau, point_velocity,
+     point_jacobian_rows, point_jacobian_planes) = make_kinematics(art)
     mass_matrix, bias_forces, link_jacobians, com_world = make_dynamics(
         art, gravity=config.gravity
     )
@@ -164,9 +163,12 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
         kd_e = kd * state.kd_scale
         tau_spring = jnp.clip(kp_e * (state.ctrl - state.q), -effort, effort)
         Mt = M + jnp.diag(h * (kd_e + joint_damping) + h * h * kp_e)
+        # dense inverse via Cholesky once: downstream uses become plain
+        # matmuls (MXU) instead of serial triangular solves
         chol = jax.scipy.linalg.cho_factor(Mt)
+        Minv = jax.scipy.linalg.cho_solve(chol, jnp.eye(Mt.shape[0], dtype=Mt.dtype))
         rhs = M @ state.qd + h * (tau_spring - bias)
-        qd_free = jax.scipy.linalg.cho_solve(chol, rhs)
+        qd_free = Minv @ rhs
 
         # free bodies: gravity + gyroscopic (DR gravity offset / mass scale)
         g_eff = g + state.gravity_offset
@@ -190,11 +192,12 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
         col_is_link = col_owner_kind[k_col] == OWNER_LINK
         link_of_pt = jnp.where(pt_is_link, pt_owner[k_pt], 0)
         link_of_col = jnp.where(col_is_link, col_owner[k_col], 0)
-        Jp = point_jacobian_rows(fk_res, link_of_pt, contacts.pos)  # (K, 3, D)
-        Jc = point_jacobian_rows(fk_res, link_of_col, contacts.pos)
-        J_robot = (
-            Jp * pt_is_link[:, None, None] - Jc * col_is_link[:, None, None]
-        )
+        # SoA (D, K) jacobian planes; point side minus collider side
+        fmask_pt = pt_is_link.astype(jnp.float32)
+        fmask_col = col_is_link.astype(jnp.float32)
+        Jpx, Jpy, Jpz = point_jacobian_planes(fk_res, link_of_pt, contacts.pos, fmask_pt)
+        Jcx, Jcy, Jcz = point_jacobian_planes(fk_res, link_of_col, contacts.pos, fmask_col)
+        Jx, Jy, Jz = Jpx - Jcx, Jpy - Jcy, Jpz - Jcz
         # body indices (or -1)
         body_of_pt = jnp.where(pt_owner_kind[k_pt] == OWNER_BODY, pt_owner[k_pt], -1)
         body_of_col = jnp.where(col_owner_kind[k_col] == OWNER_BODY, col_owner[k_col], -1)
@@ -216,8 +219,9 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             r_col = jnp.zeros_like(contacts.pos)
 
         # relative velocity at contact, using free (post-drive) velocities
-        v_pt_robot = jnp.einsum("kwd,d->kw", Jp, qd_free) * pt_is_link[:, None]
-        v_col_robot = jnp.einsum("kwd,d->kw", Jc, qd_free) * col_is_link[:, None]
+        v_robot = jnp.stack(
+            [qd_free @ Jx, qd_free @ Jy, qd_free @ Jz], axis=-1
+        )  # (K, 3) — already (point - collider) side
         if B > 0:
             v_pt_body = (
                 v_free[jnp.clip(body_of_pt, 0, B - 1)]
@@ -230,18 +234,18 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
         else:
             v_pt_body = jnp.zeros_like(contacts.pos)
             v_col_body = jnp.zeros_like(contacts.pos)
-        v_rel = (v_pt_robot + v_pt_body) - (v_col_robot + v_col_body)
+        v_rel = v_robot + v_pt_body - v_col_body
 
         inv_mass_eff = inv_mass_b / state.mass_scale
         sol = solve_contact_qp(
             contacts,
-            J_robot,
+            (Jx, Jy, Jz),
             body_of_pt,
             body_of_col,
             r_pt,
             r_col,
             v_rel,
-            chol,
+            Minv,
             inv_mass_eff,
             (Iw_inv / state.mass_scale) if B > 0 else jnp.zeros((0, 3, 3), dtype=jnp.float32),
             dt=h,
@@ -278,10 +282,9 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
                 fmag * (body_of_col >= 0)
             )
 
-        return SimState(
+        return state._replace(
             q=q_clamped.astype(state.q.dtype),
             qd=qd_new.astype(state.q.dtype),
-            ctrl=state.ctrl,
             body_pos=body_pos_new,
             body_quat=body_quat_new,
             body_linvel=v_new,
