@@ -1,0 +1,75 @@
+"""Bi-directional optimization CLI — mirror of `scripts/bi_optimization.py`.
+
+    python -m seqdex_tpu.cli.bi_optimization --task BlockAssembly \
+        --iterations 10 --logdir runs/bi_opt
+
+Forward: train Search(128) -> Orient(512) -> GraspSim(512) -> InsertSim(512)
+(env counts from `scripts/bi_optimization.py:113-116`); backward: re-train
+each successor stage with T-value shaping + offline T-value fits.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="BlockAssembly",
+                   choices=["BlockAssembly", "ToolPositioning"])
+    p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--epochs_per_stage", type=int, default=500)
+    p.add_argument("--tvalue_rollouts", type=int, default=10000)
+    p.add_argument("--logdir", default="runs/bi_opt")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ..seqdex.bi_optimization import BiOptConfig, BiOptimizer, StageSpec
+
+    if args.task == "BlockAssembly":
+        from ..envs.block_assembly.grasp_sim import GraspSimConfig, make_grasp_sim_env
+        from ..envs.block_assembly.insert_sim import InsertSimConfig, make_insert_sim_env
+        from ..envs.block_assembly.orient import OrientConfig, make_orient_env
+        from ..envs.block_assembly.search import SearchConfig, make_search_env
+
+        stages = [
+            StageSpec("search", lambda reservoir=None, tvalue_params=None:
+                      make_search_env(), 128, args.epochs_per_stage),
+            StageSpec("orient", lambda reservoir=None, tvalue_params=None:
+                      make_orient_env(reservoir=reservoir), 512, args.epochs_per_stage),
+            StageSpec("grasp", lambda reservoir=None, tvalue_params=None:
+                      make_grasp_sim_env(), 512, args.epochs_per_stage),
+            StageSpec("insert", lambda reservoir=None, tvalue_params=None:
+                      make_insert_sim_env(reservoir=reservoir), 512,
+                      args.epochs_per_stage),
+        ]
+    else:
+        from ..envs.tool_positioning.tool_envs import (
+            make_tool_grasp_env,
+            make_tool_orient_env,
+        )
+
+        stages = [
+            StageSpec("tool_grasp", lambda reservoir=None, tvalue_params=None:
+                      make_tool_grasp_env(), 512, args.epochs_per_stage),
+            StageSpec("tool_orient", lambda reservoir=None, tvalue_params=None:
+                      make_tool_orient_env(), 512, args.epochs_per_stage),
+        ]
+
+    opt = BiOptimizer(
+        stages,
+        BiOptConfig(
+            iterations=args.iterations,
+            tvalue_rollouts=args.tvalue_rollouts,
+            logdir=args.logdir,
+            seed=args.seed,
+        ),
+    )
+    return opt.run()
+
+
+if __name__ == "__main__":
+    main()

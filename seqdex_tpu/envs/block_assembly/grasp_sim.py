@@ -71,6 +71,11 @@ class GraspSimConfig:
     # decay model, `..._grasp_sim.py:129-132`, applied `search.py:1578-1589`)
     force_scale: float = 0.0
     force_prob: float = 0.05
+    # real-robot-aligned variant (`allegro_hand_block_assembly_grasp.py`,
+    # `compute_real_observations` `..._grasp_sim.py:1285-1300`): obs frame
+    # carries only proprioception + action history (no sim-privileged object
+    # state) — the deployable observation protocol
+    real_obs: bool = False
 
 
 class GraspTaskState(NamedTuple):
@@ -228,22 +233,29 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
 
         obs = jnp.zeros(ONE_FRAME_OBS, dtype=jnp.float32)
         obs = obs.at[0:16].set(hand_q_scaled)
-        obs = obs.at[16:19].set(hb_pos_b)
-        obs = obs.at[19:23].set(hb_rot_b)
-        obs = obs.at[23:26].set(cam_tgt_pos_n)
-        obs = obs.at[26:30].set(cam_tgt_rot_n)
-        obs = obs.at[30:46].set(cfg.vel_obs_scale * qd[7:23])
-        obs = obs.at[46:59].set(tip_state[0])  # ff
-        obs = obs.at[59:72].set(tip_state[2])  # rf
-        obs = obs.at[72:85].set(tip_state[1])  # mf
-        obs = obs.at[85:98].set(tip_state[3])  # th
-        obs = obs.at[98:111].set(tgt_state13)
-        obs = obs.at[111:114].set(hb_pos)
-        obs = obs.at[114:118].set(hb_rot)
-        obs = obs.at[118:121].set(state.target_init_pos)
-        obs = obs.at[121:125].set(state.target_init_rot)
-        obs = obs.at[125:128].set(tgt_pos - state.target_init_pos)
-        obs = obs.at[128:131].set(hb_pos - tgt_pos)
+        if cfg.real_obs:
+            # real-aligned frame (`compute_real_observations`,
+            # `..._grasp_sim.py:1285-1300`): proprioception + action history
+            # only — the deployable protocol; critic states stay privileged
+            obs = obs.at[30:46].set(state.actions[7:23] - hand_q_scaled)
+            obs = obs.at[46:62].set(state.actions[7:23])
+        else:
+            obs = obs.at[16:19].set(hb_pos_b)
+            obs = obs.at[19:23].set(hb_rot_b)
+            obs = obs.at[23:26].set(cam_tgt_pos_n)
+            obs = obs.at[26:30].set(cam_tgt_rot_n)
+            obs = obs.at[30:46].set(cfg.vel_obs_scale * qd[7:23])
+            obs = obs.at[46:59].set(tip_state[0])  # ff
+            obs = obs.at[59:72].set(tip_state[2])  # rf
+            obs = obs.at[72:85].set(tip_state[1])  # mf
+            obs = obs.at[85:98].set(tip_state[3])  # th
+            obs = obs.at[98:111].set(tgt_state13)
+            obs = obs.at[111:114].set(hb_pos)
+            obs = obs.at[114:118].set(hb_rot)
+            obs = obs.at[118:121].set(state.target_init_pos)
+            obs = obs.at[121:125].set(state.target_init_rot)
+            obs = obs.at[125:128].set(tgt_pos - state.target_init_pos)
+            obs = obs.at[128:131].set(hb_pos - tgt_pos)
 
         # asymmetric critic state frame (188)
         finger_dist = (

@@ -62,6 +62,9 @@ class OrientConfig:
     max_contacts: int = 48
     descent_iters: int = 12  # kinematic IK iterations replacing the scripted descent
     obs_noise: bool = True
+    # OrientOnce variant (`allegro_hand_block_assembly_orient_once.py`):
+    # block starts a single axis-rotation away from face-up
+    single_rotation: bool = False
 
 
 class OrientTaskState(NamedTuple):
@@ -151,8 +154,19 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None) -> Env:
             xy = jnp.asarray([0.25, 0.19], dtype=jnp.float32) + 0.02 * (
                 jax.random.uniform(k1, (2,)) * 2 - 1
             )
-            # arbitrary orientation resting on the table (face/edge up)
-            block_rot = random_quat(k2)
+            if cfg.single_rotation:
+                # OrientOnce: one 90/180-degree rotation about a lateral axis
+                k2a, k2b = jax.random.split(k2)
+                angle = jax.random.randint(k2a, (), 1, 3).astype(jnp.float32) * (jnp.pi / 2)
+                axis = jnp.where(
+                    jax.random.bernoulli(k2b),
+                    jnp.asarray([1.0, 0.0, 0.0], dtype=jnp.float32),
+                    jnp.asarray([0.0, 1.0, 0.0], dtype=jnp.float32),
+                )
+                block_rot = quat_from_angle_axis(angle, axis)
+            else:
+                # arbitrary orientation resting on the table (face/edge up)
+                block_rot = random_quat(k2)
             block_pos = jnp.concatenate([xy, jnp.asarray([0.635], dtype=jnp.float32)])
         q0 = jnp.zeros(D, dtype=jnp.float32)
         q0 = q0.at[:7].set(jnp.asarray(builders.DEFAULT_ARM_QPOS, dtype=jnp.float32))

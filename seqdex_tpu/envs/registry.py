@@ -65,5 +65,29 @@ def _populate():
     _REGISTRY.setdefault("ToolPositioningOrient", lambda **kw: make_tool_orient_env(**kw))
     _REGISTRY.setdefault("ToolPositioningChain", lambda **kw: make_tool_chain_env(**kw))
 
+    import dataclasses as _dc
+
+    # variants (`utils/parse_task.py` task table): single-rotation orient and
+    # the real-robot-aligned grasp/insert obs protocols
+    _REGISTRY.setdefault(
+        "BlockAssemblyOrientOnce",
+        lambda **kw: make_orient_env(OrientConfig(single_rotation=True, **kw)),
+    )
+    _REGISTRY.setdefault(
+        "BlockAssemblyGrasp",
+        lambda **kw: make_grasp_sim_env(GraspSimConfig(real_obs=True, **kw)),
+    )
+    _REGISTRY.setdefault(
+        "BlockAssemblyInsert",
+        lambda **kw: make_insert_sim_env(InsertSimConfig(**kw)),
+    )
+
+    from .block_assembly.chain_eval import ChainEvalConfig, make_chain_eval_env
+
+    _REGISTRY.setdefault(
+        "BlockAssemblyGUI",  # headless chained-eval analog of the GUI env
+        lambda **kw: make_chain_eval_env(ChainEvalConfig(**kw)),
+    )
+
 
 _populate()

@@ -253,6 +253,7 @@ def solve_contact_qp(
     compliance: float,
     iterations: int,
     max_depenetration_vel: float = 0.5,
+    use_pallas: bool = False,
 ):
     """Solve the contact impulse QP (see module docstring). Per-env.
 
@@ -313,14 +314,12 @@ def solve_contact_qp(
     alpha = 1.0 / (jnp.maximum(row_sum, 1e-6) + reg)
     mu = jnp.where(act, contacts.friction, 0.0)
 
-    def body_fn(_, lam):
-        g = (jnp.dot(A, lam, precision=HI) + reg * lam + b).reshape(3, K)
-        lam2 = lam.reshape(3, K) - alpha[None, :] * g
-        lam2 = project_cone(lam2.T, mu).T  # cone math on (K, 3) view
-        lam2 = jnp.where(act[None, :], lam2, 0.0)
-        return lam2.reshape(3 * K)
+    from .kernels.qp import qp_iterations
 
-    lam = jax.lax.fori_loop(0, iterations, body_fn, jnp.zeros(3 * K, dtype=b.dtype))
+    lam = qp_iterations(
+        A, b, alpha, mu, act,
+        iterations=iterations, reg=reg, use_pallas=use_pallas,
+    )
     lam3 = lam.reshape(3, K)  # basis-major
     lam_k = lam3.T  # (K, 3)
     f_world = jnp.einsum("wbk,bk->kw", Bm, lam3, precision=HI)  # (K, 3)

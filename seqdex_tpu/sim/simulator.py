@@ -76,6 +76,8 @@ class SimConfig:
     stiffness: tuple = ()
     damping: tuple = ()
     effort: tuple = ()
+    # use the Pallas QP-iteration kernel (auto: on real TPU backends only)
+    use_pallas: object = None
 
 
 def default_drive_params(ndof: int, arm_dofs: int = 7):
@@ -134,6 +136,11 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
     col_owner = jnp.asarray(scene.col_owner)
 
     h = config.dt / config.substeps
+    # Pallas QP kernel: opt-in. Measured on v5e at 4096 envs the one-env-per-
+    # program grid underutilizes the MXU vs XLA's batched matvec (252 vs
+    # 204 ms/step); the kernel pays off only once narrowphase+assembly+solve
+    # are fused with multi-env blocking — tracked for the kernels/ roadmap.
+    use_pallas = bool(config.use_pallas) if config.use_pallas is not None else False
 
     def init_state() -> SimState:
         q0 = 0.5 * (lower + upper)
@@ -253,6 +260,7 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             compliance=config.compliance,
             iterations=config.solver_iterations,
             max_depenetration_vel=config.max_depenetration_vel,
+            use_pallas=use_pallas,
         )
 
         qd_new = qd_free + sol.dqd
