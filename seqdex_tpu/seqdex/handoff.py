@@ -1,0 +1,122 @@
+"""Stage-to-stage terminal-state handoff.
+
+Concrete glue between the reservoirs (`seqdex.reservoir`) and the envs'
+`reservoir=` reset hooks: samplers expose the exact pytrees each successor
+stage consumes, and collectors harvest terminal states from policy rollouts.
+
+Reference semantics being mirrored:
+* Search saves heap root states + hand dofs per lego type when enough are
+  collected (`search.py:1304-1355`); Orient samples them at reset
+  (`orient.py:1603-1617`).
+* Orient re-saves "good" (face-up) terminal block poses
+  (`orient.py:1462-1515`); GraspSim resets from them.
+* GraspSim saves (hand dof, object root) on grasp success
+  (`grasp_sim.py:1399-1458`); InsertSim resets from them
+  (`insert_sim.py:1448-1455`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..rl import networks
+from . import reservoir as reslib
+
+
+class BlockPoseSampler:
+    """reservoir of {pos (3,), rot (4,)} -> (pos, rot); feeds Orient/GraspSim
+    resets."""
+
+    TEMPLATE = {"pos": jnp.zeros(3), "rot": jnp.asarray([0.0, 0.0, 0.0, 1.0])}
+
+    def __init__(self, res: Optional[reslib.Reservoir] = None, capacity: int = 4096,
+                 num_types: int = 1):
+        self.res = res or reslib.create(self.TEMPLATE, capacity, num_types)
+
+    def sample(self, key, type_idx=0):
+        s = reslib.sample(self.res, key, jnp.int32(type_idx))
+        return s["pos"], s["rot"]
+
+    def insert(self, pos, rot, valid, type_idx=None):
+        n = pos.shape[0]
+        t = type_idx if type_idx is not None else jnp.zeros(n, dtype=jnp.int32)
+        self.res = reslib.insert(self.res, {"pos": pos, "rot": rot}, t, valid)
+        return self
+
+    def save(self, path):
+        reslib.save(path, self.res)
+
+    @classmethod
+    def load(cls, path):
+        out = cls()
+        out.res = reslib.load(path, out.TEMPLATE)
+        return out
+
+
+class GraspTerminalSampler:
+    """reservoir of {q (D,), pos (3,), rot (4,)} -> (q, pos, rot); feeds
+    InsertSim resets (hand dofs + held-block pose)."""
+
+    def __init__(self, ndof: int = 23, res: Optional[reslib.Reservoir] = None,
+                 capacity: int = 4096, num_types: int = 1):
+        self.template = {
+            "q": jnp.zeros(ndof),
+            "pos": jnp.zeros(3),
+            "rot": jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+        }
+        self.res = res or reslib.create(self.template, capacity, num_types)
+
+    def sample(self, key, type_idx=0):
+        s = reslib.sample(self.res, key, jnp.int32(type_idx))
+        return s["q"], s["pos"], s["rot"]
+
+    def insert(self, q, pos, rot, valid, type_idx=None):
+        n = q.shape[0]
+        t = type_idx if type_idx is not None else jnp.zeros(n, dtype=jnp.int32)
+        self.res = reslib.insert(self.res, {"q": q, "pos": pos, "rot": rot}, t, valid)
+        return self
+
+    def save(self, path):
+        reslib.save(path, self.res)
+
+
+def collect_terminals(
+    env,
+    params,
+    sampler,
+    num_envs: int,
+    steps: int,
+    target_body: int = 0,
+    seed: int = 0,
+    min_success: float = 0.5,
+):
+    """Roll the policy; at every done step, insert (q, block pose) of
+    successful envs into the sampler's reservoir. Host loop (collection is
+    offline, like the reference's pickle dumps)."""
+    step = jax.jit(
+        lambda s, obs: jax.vmap(env.step)(s, networks.actor_mu(params, obs))
+    )
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_envs)
+    state = jax.jit(jax.vmap(env.reset))(keys)
+    obs = state.obs_stack.reshape(num_envs, -1)
+    collected = 0
+    for _ in range(steps):
+        # capture PRE-step state so the terminal snapshot is the state the
+        # done flag refers to
+        q = state.sim.q
+        pos = state.sim.body_pos[:, target_body]
+        rot = state.sim.body_quat[:, target_body]
+        state, out = step(state, obs)
+        obs = out.obs
+        valid = jnp.asarray(out.done) & (jnp.asarray(out.info["successes"]) >= min_success)
+        if isinstance(sampler, GraspTerminalSampler):
+            sampler.insert(q, pos, rot, valid)
+        else:
+            sampler.insert(pos, rot, valid)
+        collected += int(np.asarray(valid).sum())
+    return sampler, collected
