@@ -265,7 +265,7 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
 
     def reset(key) -> ChainTaskState:
         k0, k1, k2, k3 = jax.random.split(key, 4)
-        s = sim.init_state()
+        s = sim.init_state(default_q)
         h = jax.random.randint(k0, (), 0, cfg.heap_pool)
         target = jax.random.randint(k1, (), 0, NB)
         sp = jnp.asarray([0.25, -0.2, 0.618], dtype=jnp.float32)

@@ -161,7 +161,7 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
 
     def _reset_sim(key) -> tuple:
         k1, k2, k3 = jax.random.split(key, 3)
-        s = sim.init_state()
+        s = sim.init_state(default_q)
         # block: upright on the table near the bin center, random yaw
         xy = jnp.asarray([0.25, 0.19], dtype=jnp.float32) + cfg.reset_pos_noise * (
             jax.random.uniform(k1, (2,)) * 2 - 1

@@ -131,7 +131,7 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
 
     def _reset_sim(key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        s = sim.init_state()
+        s = sim.init_state(hold_q)
         # socket on the table near (0.25, -0.2) with yaw in {0, 90 deg}
         # (`..._insert_sim.py:1437-1445`)
         ri = jax.random.randint(k1, (3,), 0, 2)

@@ -147,7 +147,10 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None) -> Env:
         from ...core.math import quat_from_angle_axis, random_quat
 
         k1, k2, k3 = jax.random.split(key, 3)
-        s = sim.init_state()
+        reset_q0 = jnp.zeros(D, dtype=jnp.float32).at[:7].set(
+            jnp.asarray(builders.DEFAULT_ARM_QPOS, dtype=jnp.float32)
+        ).at[7:23].set(reset_fingers)
+        s = sim.init_state(reset_q0)
         if reservoir is not None:
             block_pos, block_rot = reservoir.sample(k1)
         else:

@@ -113,10 +113,10 @@ def _settle_heaps(sim, scene, cfg: SearchConfig, target_body0: int):
     import jax
 
     def settle(body_pos, body_quat):
-        s = sim.init_state()
         q0 = jnp.asarray(
             np.concatenate([builders.DEFAULT_ARM_QPOS, np.zeros(16)]), dtype=jnp.float32
         )
+        s = sim.init_state(q0)
         s = s._replace(
             q=q0, ctrl=q0, body_pos=body_pos, body_quat=body_quat,
         )
@@ -199,7 +199,7 @@ def make_search_env(cfg: SearchConfig = SearchConfig()) -> Env:
 
     def _reset_sim(key):
         k1, k2 = jax.random.split(key)
-        s = sim.init_state()
+        s = sim.init_state(default_q)
         h = jax.random.randint(k1, (), 0, cfg.heap_pool)
         target = jax.random.randint(k2, (), 0, B)
         s = s._replace(

@@ -149,7 +149,7 @@ def make_tool_env(cfg: ToolConfig = ToolConfig()) -> Env:
 
     def _reset_sim(key):
         k1, k2, k3 = jax.random.split(key, 3)
-        s = sim.init_state()
+        s = sim.init_state(default_q)
         # tool lying on the table near the work area
         xy = jnp.asarray([0.22, 0.1], dtype=jnp.float32) + 0.03 * (
             jax.random.uniform(k1, (2,)) * 2 - 1

@@ -8,7 +8,9 @@ Design:
 * Narrowphase = dense (colliders x points) signed-distance evaluation with a
   static pair mask, then per-point best-2 collider selection and a static
   top-K. Fixed shapes end-to-end — the TPU analog of PhysX's capped
-  contact-pair buffer.
+  contact-pair buffer. Normals/positions are RE-derived per selected contact
+  (K-sized math from gathered tiny tables), never gathered out of (C, P)
+  planes — 2D plane gathers measured ~9 ms/substep at 2048 envs.
 * Solver = velocity-level convex QP over contact impulses with isotropic
   Coulomb cones (the "contact QP" of the build spec):
       min_l  1/2 l^T (A + R) l + l^T b     s.t.  l in cone(mu)
@@ -16,10 +18,14 @@ Design:
   parallel over contacts, MXU-friendly (A is a dense 3K x 3K Delassus).
 
 Layout notes (the hot-path discipline): TPU tiles the two minor dims to
-(8, 128) fp32, so every narrowphase array keeps the big point axis LAST
-((C, P), components as separate planes — SoA), and the solver flattens all
-(K, 3, ...) tensors to (3K, ...) matrices before any contraction. Writing
-this with (..., 3)-trailing AoS shapes costs >10x in padded HBM traffic.
+(8, 128) fp32, so NOTHING in the hot path carries a trailing length-3 axis
+(it pads 3 -> 128 lanes, >40x HBM traffic): world vectors live as SoA
+component planes ((K,) each), the (C, P) grids keep the big point axis last,
+and the solver works on (3K,)-flat basis-major vectors / (3K, D) matrices.
+The body-coupling Delassus terms are assembled as same-body-masked OUTER
+PRODUCTS of (3K,) vectors instead of (., B, .) one-hot contractions — the
+Search scene has B = 132 free bodies and any B-sized einsum there is a
+100x-padded matmul.
 
 All shapes static; everything vmaps over the env axis.
 """
@@ -30,30 +36,53 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 HI = jax.lax.Precision.HIGHEST
 
-from ..core.math import quat_apply, quat_to_matrix
+from ..core.math import quat_apply, quat_mul, quat_to_matrix
 from ..core.model import GEOM_BOX, GEOM_PLANE, GEOM_SPHERE
 from .scene import OWNER_BODY, OWNER_LINK, OWNER_STATIC, CompiledScene
 
 
 class ContactSet(NamedTuple):
-    """K selected contacts (per env)."""
+    """K selected contacts (per env). World vectors are SoA planes."""
 
     depth: jnp.ndarray  # (K,) penetration depth (>0 active)
     active: jnp.ndarray  # (K,) bool
-    normal: jnp.ndarray  # (K, 3) world, pushes point out of collider
-    pos: jnp.ndarray  # (K, 3) world contact position
+    nx: jnp.ndarray  # (K,) world normal components (pushes point out)
+    ny: jnp.ndarray
+    nz: jnp.ndarray
+    px: jnp.ndarray  # (K,) world contact position components
+    py: jnp.ndarray
+    pz: jnp.ndarray
     friction: jnp.ndarray  # (K,)
     pt_idx: jnp.ndarray  # (K,) int index into point table
     col_idx: jnp.ndarray  # (K,) int index into collider table
+    # static per-point / per-collider data compacted to the K winners so the
+    # solver never gathers again:
+    anc_pt: jnp.ndarray  # (K, D) dof ancestor mask of the point's link (0 rows for body/static owners)
+    anc_col: jnp.ndarray  # (K, D) same for the collider's link
+    body_pt: jnp.ndarray  # (K,) body index of point owner or -1
+    body_col: jnp.ndarray  # (K,) body index of collider owner or -1
+    link_pt: jnp.ndarray  # (K,) link index of point owner or -1
+    link_col: jnp.ndarray  # (K,) link index of collider owner or -1
+
+    @property
+    def normal(self):  # AoS view for non-hot-path consumers/tests
+        return jnp.stack([self.nx, self.ny, self.nz], axis=-1)
+
+    @property
+    def pos(self):
+        return jnp.stack([self.px, self.py, self.pz], axis=-1)
 
 
 def make_narrowphase(scene: CompiledScene, max_contacts: int):
     P, C = scene.npoints, scene.ncolliders
-    pt_owner_kind = jnp.asarray(scene.pt_owner_kind)
-    pt_owner = jnp.asarray(scene.pt_owner)
+    art = scene.art
+    D = art.ndof
+    pt_owner_kind = np.asarray(scene.pt_owner_kind)
+    pt_owner = np.asarray(scene.pt_owner)
     pt_offset = jnp.asarray(scene.pt_offset, dtype=jnp.float32)
     pt_radius = jnp.asarray(scene.pt_radius, dtype=jnp.float32)
     pt_friction = jnp.asarray(scene.pt_friction, dtype=jnp.float32)
@@ -66,25 +95,77 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
     col_friction = jnp.asarray(scene.col_friction, dtype=jnp.float32)
     pair_mask_T = jnp.asarray(scene.pair_mask.T)  # (C, P)
     K = max_contacts
+    B = scene.nbodies
 
     is_box = jnp.asarray((col_kind == GEOM_BOX)[:, None])  # (C, 1)
     is_sphere = jnp.asarray((col_kind == GEOM_SPHERE)[:, None])
+    # per-collider kind flags as (C,) float rows for the per-contact stage
+    is_box_c = jnp.asarray((col_kind == GEOM_BOX).astype(np.float32))
+    is_sphere_c = jnp.asarray((col_kind == GEOM_SPHERE).astype(np.float32))
+
+    # ---- static per-point solver tables (compacted to winners by 1D row
+    # gathers — point identity is static, so everything downstream of pt_idx
+    # is a constant table) ----
+    anc_np = np.asarray(art.ancestor_mask, dtype=np.float32)  # (L, D)
+    pt_is_link = pt_owner_kind == OWNER_LINK
+    anc_byP = np.where(
+        pt_is_link[:, None], anc_np[np.clip(pt_owner, 0, art.nlinks - 1)], 0.0
+    )  # (P, D)
+    body_inv_mass = np.asarray(scene.body_inv_mass)
+    body_of_pt_byP = np.where(pt_owner_kind == OWNER_BODY, pt_owner, -1)
+    if B > 0:
+        kinematic_or_inf = (
+            np.asarray(scene.body_kinematic)
+            | (body_inv_mass == 0.0)
+        )
+        body_of_pt_byP = np.where(
+            (body_of_pt_byP >= 0)
+            & kinematic_or_inf[np.clip(body_of_pt_byP, 0, B - 1)],
+            -1,
+            body_of_pt_byP,
+        )
+    anc_byP = jnp.asarray(anc_byP)
+    body_of_pt_byP = jnp.asarray(body_of_pt_byP.astype(np.int32))
+    link_of_pt_byP = jnp.asarray(
+        np.where(pt_is_link, pt_owner, -1).astype(np.int32))
+
+    # static per-collider solver tables
+    col_owner_np = np.asarray(scene.col_owner)
+    col_kind_np = np.asarray(scene.col_owner_kind)
+    anc_byC = np.where(
+        (col_kind_np == OWNER_LINK)[:, None],
+        anc_np[np.clip(col_owner_np, 0, art.nlinks - 1)],
+        0.0,
+    )  # (C, D)
+    body_of_col_byC = np.where(col_kind_np == OWNER_BODY, col_owner_np, -1)
+    if B > 0:
+        body_of_col_byC = np.where(
+            (body_of_col_byC >= 0)
+            & kinematic_or_inf[np.clip(body_of_col_byC, 0, B - 1)],
+            -1,
+            body_of_col_byC,
+        )
+    anc_byC = jnp.asarray(anc_byC)
+    body_of_col_byC = jnp.asarray(body_of_col_byC.astype(np.int32))
+    link_of_col_byC = jnp.asarray(
+        np.where(col_kind_np == OWNER_LINK, col_owner_np, -1).astype(np.int32))
+
+    pt_owner_j = jnp.asarray(pt_owner)
+    pt_kind_j = jnp.asarray(pt_owner_kind)
 
     def point_world(fk_pos, fk_quat, body_pos, body_quat):
         """World positions of all contact points. (P, 3)"""
-        lk = jnp.clip(pt_owner, 0, fk_pos.shape[0] - 1)
-        bk = jnp.clip(pt_owner, 0, max(body_pos.shape[0] - 1, 0))
+        lk = jnp.clip(pt_owner_j, 0, fk_pos.shape[0] - 1)
+        bk = jnp.clip(pt_owner_j, 0, max(body_pos.shape[0] - 1, 0))
         p_link = fk_pos[lk] + quat_apply(fk_quat[lk], pt_offset)
         if body_pos.shape[0] > 0:
             p_body = body_pos[bk] + quat_apply(body_quat[bk], pt_offset)
         else:
             p_body = p_link
-        return jnp.where((pt_owner_kind == OWNER_LINK)[:, None], p_link, p_body)
+        return jnp.where((pt_kind_j == OWNER_LINK)[:, None], p_link, p_body)
 
     def collider_world(fk_pos, fk_quat, body_pos, body_quat):
         """World pose of all colliders. ((C,3), (C,4))"""
-        from ..core.math import quat_mul
-
         lk = jnp.clip(col_owner, 0, fk_pos.shape[0] - 1)
         bk = jnp.clip(col_owner, 0, max(body_pos.shape[0] - 1, 0))
         p_link = fk_pos[lk] + quat_apply(fk_quat[lk], col_pos)
@@ -121,40 +202,17 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
         hy = col_size[:, 1, None]
         hz = col_size[:, 2, None]
 
-        # box SDF + normal (branch-free, SoA planes)
+        # box SDF (branch-free, SoA planes — selection only, no normals)
         qx, qy, qz = jnp.abs(lx) - hx, jnp.abs(ly) - hy, jnp.abs(lz) - hz
         qxp, qyp, qzp = jnp.maximum(qx, 0.0), jnp.maximum(qy, 0.0), jnp.maximum(qz, 0.0)
         outside = jnp.sqrt(qxp * qxp + qyp * qyp + qzp * qzp)
         max_in = jnp.maximum(qx, jnp.maximum(qy, qz))
         sdf_box = outside + jnp.minimum(max_in, 0.0)
-        sx = jnp.where(lx >= 0, 1.0, -1.0)
-        sy = jnp.where(ly >= 0, 1.0, -1.0)
-        sz = jnp.where(lz >= 0, 1.0, -1.0)
-        inv_out = 1.0 / jnp.maximum(outside, 1e-9)
-        # outside normal
-        nbx_o, nby_o, nbz_o = qxp * sx * inv_out, qyp * sy * inv_out, qzp * sz * inv_out
-        # inside normal: face of max penetration
-        in_x = (qx >= qy) & (qx >= qz)
-        in_y = (~in_x) & (qy >= qz)
-        in_z = ~(in_x | in_y)
-        use_out = outside > 1e-9
-        nbx = jnp.where(use_out, nbx_o, jnp.where(in_x, sx, 0.0))
-        nby = jnp.where(use_out, nby_o, jnp.where(in_y, sy, 0.0))
-        nbz = jnp.where(use_out, nbz_o, jnp.where(in_z, sz, 0.0))
-
         # sphere SDF
         r_loc = jnp.sqrt(lx * lx + ly * ly + lz * lz)
         sdf_sph = r_loc - hx
-        inv_r = 1.0 / jnp.maximum(r_loc, 1e-9)
-        nsx, nsy, nsz = lx * inv_r, ly * inv_r, lz * inv_r
-
         # plane z=0
-        sdf_pln = lz
-
-        sdf = jnp.where(is_box, sdf_box, jnp.where(is_sphere, sdf_sph, sdf_pln))
-        nx = jnp.where(is_box, nbx, jnp.where(is_sphere, nsx, 0.0))
-        ny = jnp.where(is_box, nby, jnp.where(is_sphere, nsy, 0.0))
-        nz = jnp.where(is_box, nbz, jnp.where(is_sphere, nsz, 1.0))
+        sdf = jnp.where(is_box, sdf_box, jnp.where(is_sphere, sdf_sph, lz))
 
         depth = pt_radius[None, :] - sdf  # (C, P)
         depth = jnp.where(pair_mask_T, depth, -1e9)
@@ -174,39 +232,113 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
         pidx = top_i % P
         cidx = cand_col[top_i]
 
-        # gather normals (local) for the K winners, rotate to world
-        n_local = jnp.stack(
-            [nx[cidx, pidx], ny[cidx, pidx], nz[cidx, pidx]], axis=-1
-        )  # (K, 3)
-        n_world = jnp.einsum("kij,kj->ki", Rc[cidx], n_local, precision=HI)
-        pos = pw[pidx] - n_world * (
-            pt_radius[pidx] + jnp.maximum(top_depth, 0.0) * 0.5
-        )[:, None]
-        mu = 0.5 * (pt_friction[pidx] + col_friction[cidx])
+        # ---- per-contact stage: K-sized recomputation from tiny tables ----
+        # point side (static tables + runtime pw rows)
+        pw_k = pw[pidx]  # (K, 3) row gather
+        kx, ky, kz = pw_k[:, 0], pw_k[:, 1], pw_k[:, 2]
+        r_k = pt_radius[pidx]
+        mu_pt = pt_friction[pidx]
+        # collider side (runtime pose rows + static tables)
+        cp_k = cp[cidx]
+        cq_k = cq[cidx]  # (K, 4) xyzw
+        sz_k = col_size[cidx]
+        mu_col = col_friction[cidx]
+        boxf = is_box_c[cidx]
+        sphf = is_sphere_c[cidx]
+
+        # rotation-matrix entries from the quaternion, componentwise
+        qx_, qy_, qz_, qw_ = cq_k[:, 0], cq_k[:, 1], cq_k[:, 2], cq_k[:, 3]
+        r00 = 1 - 2 * (qy_ * qy_ + qz_ * qz_)
+        r01 = 2 * (qx_ * qy_ - qz_ * qw_)
+        r02 = 2 * (qx_ * qz_ + qy_ * qw_)
+        r10 = 2 * (qx_ * qy_ + qz_ * qw_)
+        r11 = 1 - 2 * (qx_ * qx_ + qz_ * qz_)
+        r12 = 2 * (qy_ * qz_ - qx_ * qw_)
+        r20 = 2 * (qx_ * qz_ - qy_ * qw_)
+        r21 = 2 * (qy_ * qz_ + qx_ * qw_)
+        r22 = 1 - 2 * (qy_ * qy_ + qx_ * qx_)
+
+        dxw = kx - cp_k[:, 0]
+        dyw = ky - cp_k[:, 1]
+        dzw = kz - cp_k[:, 2]
+        # local coords: R^T d
+        lxk = r00 * dxw + r10 * dyw + r20 * dzw
+        lyk = r01 * dxw + r11 * dyw + r21 * dzw
+        lzk = r02 * dxw + r12 * dyw + r22 * dzw
+
+        # box normal (local)
+        bqx = jnp.abs(lxk) - sz_k[:, 0]
+        bqy = jnp.abs(lyk) - sz_k[:, 1]
+        bqz = jnp.abs(lzk) - sz_k[:, 2]
+        bqxp, bqyp, bqzp = (jnp.maximum(bqx, 0.0), jnp.maximum(bqy, 0.0),
+                            jnp.maximum(bqz, 0.0))
+        outside_k = jnp.sqrt(bqxp * bqxp + bqyp * bqyp + bqzp * bqzp)
+        sx = jnp.where(lxk >= 0, 1.0, -1.0)
+        sy = jnp.where(lyk >= 0, 1.0, -1.0)
+        sz_ = jnp.where(lzk >= 0, 1.0, -1.0)
+        inv_out = 1.0 / jnp.maximum(outside_k, 1e-9)
+        in_x = (bqx >= bqy) & (bqx >= bqz)
+        in_y = (~in_x) & (bqy >= bqz)
+        in_z = ~(in_x | in_y)
+        use_out = outside_k > 1e-9
+        nbx = jnp.where(use_out, bqxp * sx * inv_out, jnp.where(in_x, sx, 0.0))
+        nby = jnp.where(use_out, bqyp * sy * inv_out, jnp.where(in_y, sy, 0.0))
+        nbz = jnp.where(use_out, bqzp * sz_ * inv_out, jnp.where(in_z, sz_, 0.0))
+        # sphere normal (local)
+        rl = jnp.sqrt(lxk * lxk + lyk * lyk + lzk * lzk)
+        inv_rl = 1.0 / jnp.maximum(rl, 1e-9)
+        nsx, nsy, nsz = lxk * inv_rl, lyk * inv_rl, lzk * inv_rl
+        # plane normal (local) = +z
+        nlx = boxf * nbx + sphf * nsx
+        nly = boxf * nby + sphf * nsy
+        nlz = boxf * nbz + sphf * nsz + (1.0 - boxf - sphf) * 1.0
+
+        # world normal = R n_local
+        nxw = r00 * nlx + r01 * nly + r02 * nlz
+        nyw = r10 * nlx + r11 * nly + r12 * nlz
+        nzw = r20 * nlx + r21 * nly + r22 * nlz
+
+        off = r_k + jnp.maximum(top_depth, 0.0) * 0.5
+        pxw = kx - nxw * off
+        pyw = ky - nyw * off
+        pzw = kz - nzw * off
+
+        mu = 0.5 * (mu_pt + mu_col)
         return ContactSet(
             depth=top_depth,
             active=top_depth > 0.0,
-            normal=n_world,
-            pos=pos,
+            nx=nxw, ny=nyw, nz=nzw,
+            px=pxw, py=pyw, pz=pzw,
             friction=mu,
             pt_idx=pidx,
             col_idx=cidx,
+            anc_pt=anc_byP[pidx],
+            anc_col=anc_byC[cidx],
+            body_pt=body_of_pt_byP[pidx],
+            body_col=body_of_col_byC[cidx],
+            link_pt=link_of_pt_byP[pidx],
+            link_col=link_of_col_byC[cidx],
         )
 
     return narrowphase, point_world
 
 
-def _tangent_basis(n):
-    """Two unit tangents orthogonal to n: (..., 3) -> ((..., 3), (..., 3))."""
-    h = jnp.where(
-        (jnp.abs(n[..., 0]) < 0.7)[..., None],
-        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=n.dtype), n.shape),
-        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], dtype=n.dtype), n.shape),
-    )
-    t1 = jnp.cross(n, h)
-    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
-    t2 = jnp.cross(n, t1)
-    return t1, t2
+def _tangent_basis_soa(nx, ny, nz):
+    """Two unit tangents orthogonal to n, componentwise. 6x (K,)."""
+    use_x = jnp.abs(nx) < 0.7
+    hx = jnp.where(use_x, 1.0, 0.0)
+    hy = jnp.where(use_x, 0.0, 1.0)
+    # t1 = n x h
+    t1x = ny * 0.0 - nz * hy
+    t1y = nz * hx - nx * 0.0
+    t1z = nx * hy - ny * hx
+    inv = 1.0 / jnp.maximum(jnp.sqrt(t1x * t1x + t1y * t1y + t1z * t1z), 1e-9)
+    t1x, t1y, t1z = t1x * inv, t1y * inv, t1z * inv
+    # t2 = n x t1
+    t2x = ny * t1z - nz * t1y
+    t2y = nz * t1x - nx * t1z
+    t2z = nx * t1y - ny * t1x
+    return (t1x, t1y, t1z), (t2x, t2y, t2z)
 
 
 def project_cone(lam, mu):
@@ -230,7 +362,7 @@ def project_cone(lam, mu):
 
 class SolveResult(NamedTuple):
     impulses: jnp.ndarray  # (K, 3) contact impulses in (n, t1, t2) basis
-    force_world: jnp.ndarray  # (K, 3) impulse vector in world coords
+    fmag: jnp.ndarray  # (K,) impulse magnitude (diagnostics)
     dqd: jnp.ndarray  # (D,) robot velocity change
     dbody_v: jnp.ndarray  # (B, 3)
     dbody_w: jnp.ndarray  # (B, 3)
@@ -238,12 +370,10 @@ class SolveResult(NamedTuple):
 
 def solve_contact_qp(
     contacts: ContactSet,
-    J_planes,  # (Jx, Jy, Jz): (D, K) SoA robot point-jacobian planes
-    body_idx_pt: jnp.ndarray,  # (K,) body index of point owner or -1
-    body_idx_col: jnp.ndarray,  # (K,) body index of collider owner or -1
-    r_pt: jnp.ndarray,  # (K, 3) contact pos - body com (point side)
-    r_col: jnp.ndarray,  # (K, 3) collider side
-    v_rel: jnp.ndarray,  # (K, 3) world relative velocity (point - collider)
+    J_planes,  # (Jx, Jy, Jz): (K, D) contact-point translational jacobians
+    r_pt,  # (rx, ry, rz): (K,) contact pos - point-body com, SoA
+    r_col,  # (rx, ry, rz): (K,) collider side, SoA
+    v_rel,  # (vx, vy, vz): (K,) world relative velocity (point - collider)
     inv_M,  # (D, D) inverse of the (implicitly damped) robot mass matrix
     inv_mass_b: jnp.ndarray,  # (B,)
     inv_inertia_w: jnp.ndarray,  # (B, 3, 3) world-frame inverse inertia
@@ -258,54 +388,95 @@ def solve_contact_qp(
     """Solve the contact impulse QP (see module docstring). Per-env.
 
     Flattened contact index is BASIS-MAJOR: row b*K + k (b in {n, t1, t2}).
-    This keeps every (3, K)-shaped plane reshaping to (3K,) without
-    transposes through padded minor dims."""
+    The Delassus A = A_robot + A_body where A_robot = Jr Minv Jr^T is two
+    MXU matmuls and A_body is assembled from same-body-masked outer products
+    (no B-sized contraction — see module docstring)."""
     K = contacts.depth.shape[0]
     B = inv_mass_b.shape[0]
     Jx, Jy, Jz = J_planes
-    D = Jx.shape[0]
-    n = contacts.normal
-    t1, t2 = _tangent_basis(n)
-    basis = jnp.stack([n, t1, t2], axis=1)  # (K, 3basis, 3world)
-    # Bm[w, b, k] = basis[k, b, w] — world-component planes
-    Bm = jnp.transpose(basis, (2, 1, 0))  # (3w, 3b, K)
+    D = Jx.shape[1]
+    nx, ny, nz = contacts.nx, contacts.ny, contacts.nz
+    (t1x, t1y, t1z), (t2x, t2y, t2z) = _tangent_basis_soa(nx, ny, nz)
+    # basis component planes bw[b][w]: (K,)
+    bw = ((nx, ny, nz), (t1x, t1y, t1z), (t2x, t2y, t2z))
+    # stacked basis world-components: bs[w] = (3K,), basis-major
+    bs = tuple(jnp.concatenate([bw[b][w] for b in range(3)]) for w in range(3))
 
-    # robot jacobian in contact frame, transposed layout: (D, 3K) basis-major
-    # JrT[d, b*K+k] = sum_w basis[k,b,w] * Jw[d,k]
-    JrT = (
-        Bm[0].reshape(1, 3, K) * Jx[:, None, :]
-        + Bm[1].reshape(1, 3, K) * Jy[:, None, :]
-        + Bm[2].reshape(1, 3, K) * Jz[:, None, :]
-    ).reshape(D, 3 * K)
-    WrT = jnp.dot(inv_M, JrT, precision=HI)  # (D, 3K)
-    A = jnp.dot(JrT.T, WrT, precision=HI)  # (3K, 3K)
+    # robot jacobian in contact frame: (3K, D) basis-major, no transposes
+    Jr = jnp.concatenate(
+        [bw[b][0][:, None] * Jx + bw[b][1][:, None] * Jy + bw[b][2][:, None] * Jz
+         for b in range(3)], axis=0
+    )  # (3K, D)
+    W = jax.lax.dot_general(
+        Jr, inv_M, dimension_numbers=(((1,), (0,)), ((), ())), precision=HI
+    )  # (3K, D)
+    A = jax.lax.dot_general(
+        W, Jr, dimension_numbers=(((1,), (1,)), ((), ())), precision=HI
+    )  # (3K, 3K)
 
     if B > 0:
-        onehot_pt = jax.nn.one_hot(body_idx_pt, B, dtype=n.dtype)  # (K, B)
-        onehot_col = jax.nn.one_hot(body_idx_col, B, dtype=n.dtype)
-        # signed involvement: a contact pushes its point-side body and pulls
-        # its collider-side body — one pass instead of a (pt,col)^2 loop
-        sigma = onehot_pt - onehot_col  # (K, B)
-        B_f = Bm.reshape(3, 3 * K)  # (3w, 3K)
-        bb = jnp.dot(B_f.T, B_f, precision=HI)  # (3K, 3K)
-        T = jnp.dot(sigma * inv_mass_b[None, :], sigma.T, precision=HI)  # (K, K)
-        A = A + bb * jnp.tile(T, (3, 3))
-        # rotational: per-body signed arm jacobians H_b = oh_pt*rxb_pt - oh_col*rxb_col
-        rxb_pt = jnp.cross(r_pt[:, None, :], basis)  # (K, 3b, 3w)
-        rxb_col = jnp.cross(r_col[:, None, :], basis)
-        Rm_pt = jnp.transpose(rxb_pt, (2, 1, 0)).reshape(1, 3, 3 * K)  # (1, 3w, 3K)
-        Rm_col = jnp.transpose(rxb_col, (2, 1, 0)).reshape(1, 3, 3 * K)
-        oh_pt_cols = jnp.tile(onehot_pt.T, (1, 3)).reshape(B, 1, 3 * K)
-        oh_col_cols = jnp.tile(onehot_col.T, (1, 3)).reshape(B, 1, 3 * K)
-        H = oh_pt_cols * Rm_pt - oh_col_cols * Rm_col  # (B, 3w, 3K)
-        A = A + jnp.einsum("bxm,bxy,byn->mn", H, inv_inertia_w, H, precision=HI)
+        valid_pt = contacts.body_pt >= 0
+        valid_col = contacts.body_col >= 0
+        bpt = jnp.clip(contacts.body_pt, 0, B - 1)
+        bcl = jnp.clip(contacts.body_col, 0, B - 1)
+        invm_pt = inv_mass_b[bpt] * valid_pt  # (K,)
+        invm_col = inv_mass_b[bcl] * valid_col
+        Ii_pt = inv_inertia_w[bpt] * valid_pt[:, None, None]  # (K, 3, 3)
+        Ii_col = inv_inertia_w[bcl] * valid_col[:, None, None]
+
+        # arm x basis planes g[side][x] = (3K,): (r x basis_b)_x per contact
+        def arm_cross(r, sign):
+            rx, ry, rz = r
+            gx = jnp.concatenate([ry * bw[b][2] - rz * bw[b][1] for b in range(3)])
+            gy = jnp.concatenate([rz * bw[b][0] - rx * bw[b][2] for b in range(3)])
+            gz = jnp.concatenate([rx * bw[b][1] - ry * bw[b][0] for b in range(3)])
+            return (gx, gy, gz)
+
+        g_pt = arm_cross(r_pt, +1.0)
+        g_col = arm_cross(r_col, +1.0)
+
+        # u_rot[side][x] = (Iinv_side g_side)_x stacked (3K,)
+        def rot_u(Ii, g):
+            Ii3 = jnp.tile(Ii, (3, 1, 1))  # (3K, 3, 3) basis-major tile
+            return tuple(
+                Ii3[:, x, 0] * g[0] + Ii3[:, x, 1] * g[1] + Ii3[:, x, 2] * g[2]
+                for x in range(3)
+            )
+
+        u_rot_pt = rot_u(Ii_pt, g_pt)
+        u_rot_col = rot_u(Ii_col, g_col)
+        invm_pt3 = jnp.tile(invm_pt, 3)  # (3K,)
+        invm_col3 = jnp.tile(invm_col, 3)
+
+        # same-body pair masks, expanded to (3K, 3K) by basis-major tiling
+        def pair_mask(bm, vm, bn, vn):
+            m = (bm[:, None] == bn[None, :]) & vm[:, None] & vn[None, :]
+            return jnp.tile(m.astype(jnp.float32), (3, 3))
+
+        S_pp = pair_mask(bpt, valid_pt, bpt, valid_pt)
+        S_pc = pair_mask(bpt, valid_pt, bcl, valid_col)
+        S_cp = pair_mask(bcl, valid_col, bpt, valid_pt)
+        S_cc = pair_mask(bcl, valid_col, bcl, valid_col)
+
+        def tr_block(u_invm3):
+            # sum_w outer(bs[w], bs[w] * u_invm3)  — invm on the n side
+            return sum(bs[w][:, None] * (bs[w] * u_invm3)[None, :] for w in range(3))
+
+        def rot_block(g_m, u_n):
+            return sum(g_m[x][:, None] * u_n[x][None, :] for x in range(3))
+
+        A = A + S_pp * (tr_block(invm_pt3) + rot_block(g_pt, u_rot_pt))
+        A = A - S_pc * (tr_block(invm_col3) + rot_block(g_pt, u_rot_col))
+        A = A - S_cp * (tr_block(invm_pt3) + rot_block(g_col, u_rot_pt))
+        A = A + S_cc * (tr_block(invm_col3) + rot_block(g_col, u_rot_col))
 
     act = contacts.active
-    b3 = jnp.einsum("wbk,kw->bk", Bm, v_rel, precision=HI)  # (3b, K)
+    vx, vy, vz = v_rel
+    b3 = [bw[b][0] * vx + bw[b][1] * vy + bw[b][2] * vz for b in range(3)]
     bias = jnp.minimum(
         baumgarte / dt * jnp.maximum(contacts.depth, 0.0), max_depenetration_vel
     )
-    b = b3.at[0].add(-bias).reshape(3 * K)
+    b = jnp.concatenate([b3[0] - bias, b3[1], b3[2]])  # (3K,)
 
     reg = compliance
     act_cols = jnp.tile(act, 3)
@@ -322,25 +493,40 @@ def solve_contact_qp(
     )
     lam3 = lam.reshape(3, K)  # basis-major
     lam_k = lam3.T  # (K, 3)
-    f_world = jnp.einsum("wbk,bk->kw", Bm, lam3, precision=HI)  # (K, 3)
+    # world impulse components (K,)
+    fx = bw[0][0] * lam3[0] + bw[1][0] * lam3[1] + bw[2][0] * lam3[2]
+    fy = bw[0][1] * lam3[0] + bw[1][1] * lam3[1] + bw[2][1] * lam3[2]
+    fz = bw[0][2] * lam3[0] + bw[1][2] * lam3[1] + bw[2][2] * lam3[2]
+    fmag = jnp.sqrt(fx * fx + fy * fy + fz * fz)
 
-    dqd = jnp.dot(WrT, lam, precision=HI)  # (D,)
+    dqd = jax.lax.dot_general(
+        W, lam, dimension_numbers=(((0,), (0,)), ((), ())), precision=HI
+    )  # (D,)
     if B > 0:
-        dbody_v = jnp.einsum("kb,kw->bw", onehot_pt * inv_mass_b[None, :], f_world) - \
-                  jnp.einsum("kb,kw->bw", onehot_col * inv_mass_b[None, :], f_world)
-        tq_pt = jnp.cross(r_pt, f_world)
-        tq_col = jnp.cross(r_col, f_world)
-        tq = jnp.einsum("kb,kw->bw", onehot_pt, tq_pt) - jnp.einsum(
-            "kb,kw->bw", onehot_col, tq_col
+        # scatter-free: one-hot accumulate via (B, K) masks x (K,) planes
+        ohT_pt = ((jnp.arange(B, dtype=jnp.int32)[:, None] == contacts.body_pt[None, :])
+                  & valid_pt[None, :]).astype(jnp.float32)  # (B, K)
+        ohT_col = ((jnp.arange(B, dtype=jnp.int32)[:, None] == contacts.body_col[None, :])
+                   & valid_col[None, :]).astype(jnp.float32)
+        f_kw = jnp.stack([fx, fy, fz], axis=-1)  # (K, 3) — tiny matmul operand
+        dbody_v = inv_mass_b[:, None] * (ohT_pt @ f_kw - ohT_col @ f_kw)
+        rpx, rpy, rpz = r_pt
+        rcx, rcy, rcz = r_col
+        tq_pt = jnp.stack(
+            [rpy * fz - rpz * fy, rpz * fx - rpx * fz, rpx * fy - rpy * fx], axis=-1
+        )  # (K, 3)
+        tq_col = jnp.stack(
+            [rcy * fz - rcz * fy, rcz * fx - rcx * fz, rcx * fy - rcy * fx], axis=-1
         )
-        dbody_w = jnp.einsum("bxy,by->bx", inv_inertia_w, tq)
+        tq = ohT_pt @ tq_pt - ohT_col @ tq_col  # (B, 3)
+        dbody_w = jnp.einsum("bxy,by->bx", inv_inertia_w, tq, precision=HI)
     else:
         dbody_v = jnp.zeros((0, 3), dtype=b.dtype)
         dbody_w = jnp.zeros((0, 3), dtype=b.dtype)
 
     return SolveResult(
         impulses=lam_k,
-        force_world=f_world,
+        fmag=jnp.where(act, fmag, 0.0),
         dqd=dqd,
         dbody_v=dbody_v,
         dbody_w=dbody_w,

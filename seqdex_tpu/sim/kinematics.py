@@ -163,6 +163,26 @@ def make_kinematics(art: Articulation):
         mask = anc[link_idx]  # (N, D)
         return jnp.swapaxes(lever * mask[..., None], 1, 2)  # (N, 3, D)
 
+    def point_jacobian_rows_soa(fk_res: FkResult, anc_mask: jnp.ndarray,
+                                px: jnp.ndarray, py: jnp.ndarray,
+                                pz: jnp.ndarray):
+        """Translational point Jacobians, (K, D)-oriented, gather-free.
+
+        anc_mask: (K, D) dof ancestor mask for each contact's link (zero rows
+        for body/static owners) — precompacted by the narrowphase so no
+        `anc[link_idx]` gather happens in the hot loop. px/py/pz: (K,) SoA
+        point world coordinates. Returns (Jx, Jy, Jz), each (K, D)."""
+        a = fk_res.dof_axis_w  # (D, 3)
+        o = fk_res.dof_origin_w  # (D, 3)
+        rx = px[:, None] - o[None, :, 0]  # (K, D)
+        ry = py[:, None] - o[None, :, 1]
+        rz = pz[:, None] - o[None, :, 2]
+        ax, ay, az = a[None, :, 0], a[None, :, 1], a[None, :, 2]
+        jx = (ay * rz - az * ry) * anc_mask
+        jy = (az * rx - ax * rz) * anc_mask
+        jz = (ax * ry - ay * rx) * anc_mask
+        return jx, jy, jz
+
     def point_jacobian_planes(fk_res: FkResult, link_idx: jnp.ndarray,
                               p_w: jnp.ndarray, scale: jnp.ndarray = None):
         """SoA translational point Jacobians: (Jx, Jy, Jz), each (D, N).
@@ -187,7 +207,7 @@ def make_kinematics(art: Articulation):
         return jx, jy, jz
 
     return (fk, site_jacobian, point_jacobian_tau, point_velocity,
-            point_jacobian_rows, point_jacobian_planes)
+            point_jacobian_rows, point_jacobian_planes, point_jacobian_rows_soa)
 
 
 def make_dynamics(art: Articulation, gravity=(0.0, 0.0, -9.81)):
@@ -204,30 +224,66 @@ def make_dynamics(art: Articulation, gravity=(0.0, 0.0, -9.81)):
     com = jnp.asarray(art.com, dtype=jnp.float32)  # (L, 3)
     inertia = jnp.asarray(art.inertia, dtype=jnp.float32)  # (L, 3, 3)
     armature = jnp.asarray(art.armature, dtype=jnp.float32)  # (D,)
+    mass3 = jnp.tile(jnp.asarray(art.mass, dtype=jnp.float32), 3)  # (3L,)
     g = jnp.asarray(gravity, dtype=jnp.float32)
     parent = art.parent
 
     def com_world(fk_res: FkResult):
         return fk_res.pos + quat_apply(fk_res.quat, com)  # (L, 3)
 
-    def link_jacobians(fk_res: FkResult):
-        """(Jlin, Jang): (L, D, 3) translational/rotational Jacobians at coms."""
+    def link_jacobian_planes(fk_res: FkResult):
+        """SoA com Jacobians: 6 planes of (L, D) — (jlin_x/y/z, jang_x/y/z).
+
+        TPU layout discipline: no trailing-3 tensors (they pad 3 -> 128
+        lanes and cost >40x in HBM traffic); the D axis is the minor dim.
+        """
         a = fk_res.dof_axis_w  # (D, 3)
         o = fk_res.dof_origin_w  # (D, 3)
         c = com_world(fk_res)  # (L, 3)
-        rel = c[:, None, :] - o[None, :, :]  # (L, D, 3)
-        lever = jnp.cross(jnp.broadcast_to(a[None], rel.shape), rel)
-        jlin = lever * anc[..., None]  # (L, D, 3)
-        jang = jnp.broadcast_to(a[None], rel.shape) * anc[..., None]
-        return jlin, jang
+        rx = c[:, 0, None] - o[None, :, 0]  # (L, D)
+        ry = c[:, 1, None] - o[None, :, 1]
+        rz = c[:, 2, None] - o[None, :, 2]
+        ax, ay, az = a[None, :, 0], a[None, :, 1], a[None, :, 2]
+        jlx = (ay * rz - az * ry) * anc
+        jly = (az * rx - ax * rz) * anc
+        jlz = (ax * ry - ay * rx) * anc
+        jax_ = ax * anc
+        jay = ay * anc
+        jaz = az * anc
+        return (jlx, jly, jlz), (jax_, jay, jaz)
+
+    def link_jacobians(fk_res: FkResult):
+        """(Jlin, Jang): (L, D, 3) translational/rotational Jacobians at coms.
+
+        AoS view for callers that want per-link blocks (non-hot paths)."""
+        (jlx, jly, jlz), (jax_, jay, jaz) = link_jacobian_planes(fk_res)
+        return (jnp.stack([jlx, jly, jlz], axis=-1),
+                jnp.stack([jax_, jay, jaz], axis=-1))
 
     def mass_matrix(fk_res: FkResult) -> jnp.ndarray:
-        jlin, jang = link_jacobians(fk_res)
+        """CRBA via two stacked (3L, D) matmuls on the MXU.
+
+        M = Jlin^T diag(m) Jlin + Jang^T Iw Jang with all factors stored as
+        stacked component planes (3L, D)."""
+        (jlx, jly, jlz), (jax_, jay, jaz) = link_jacobian_planes(fk_res)
         R = quat_to_matrix(fk_res.quat)  # (L, 3, 3)
         iw = jnp.einsum("lab,lbc,ldc->lad", R, inertia, R, precision=HI)  # R I R^T
-        m_lin = jnp.einsum("l,ldx,lex->de", mass, jlin, jlin, precision=HI)
-        m_ang = jnp.einsum("ldx,lxy,ley->de", jang, iw, jang, precision=HI)
-        return m_lin + m_ang + jnp.diag(armature)
+        # W rows: (Iw jang)_a = sum_b Iw[l, a, b] * jang_b[l]
+        w_rows = [
+            iw[:, aa, 0, None] * jax_ + iw[:, aa, 1, None] * jay
+            + iw[:, aa, 2, None] * jaz
+            for aa in range(3)
+        ]
+        # single stacked (6L, D) factor pair: M = lhs^T rhs, contraction on
+        # dim 0 via dot_general (no transpose relayout)
+        lhs = jnp.concatenate(
+            [mass3[:, None] * jnp.concatenate([jlx, jly, jlz], axis=0),
+             jnp.concatenate([jax_, jay, jaz], axis=0)], axis=0)
+        rhs = jnp.concatenate([jlx, jly, jlz] + w_rows, axis=0)
+        M = jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=(((0,), (0,)), ((), ())), precision=HI
+        )
+        return M + jnp.diag(armature)
 
     def bias_forces(fk_res: FkResult, qd: jnp.ndarray) -> jnp.ndarray:
         """C(q, qd) qd - tau_gravity, as generalized forces (D,).
@@ -277,7 +333,13 @@ def make_dynamics(art: Articulation, gravity=(0.0, 0.0, -9.81)):
         a_com = a_org + jnp.cross(alpha, rc) + jnp.cross(w, jnp.cross(w, rc))
         F = mass[:, None] * (a_com - g[None, :])  # (L, 3)
         N = jnp.einsum("lab,lb->la", iw, alpha, precision=HI) + jnp.cross(w, jnp.einsum("lab,lb->la", iw, w, precision=HI))
-        jlin, jang = link_jacobians(fk_res)
-        return jnp.einsum("ldx,lx->d", jlin, F, precision=HI) + jnp.einsum("ldx,lx->d", jang, N, precision=HI)
+        (jlx, jly, jlz), (jax_, jay, jaz) = link_jacobian_planes(fk_res)
+        tau = (
+            jnp.sum(jlx * F[:, 0, None] + jly * F[:, 1, None] + jlz * F[:, 2, None],
+                    axis=0)
+            + jnp.sum(jax_ * N[:, 0, None] + jay * N[:, 1, None] + jaz * N[:, 2, None],
+                      axis=0)
+        )
+        return tau
 
     return mass_matrix, bias_forces, link_jacobians, com_world
