@@ -44,7 +44,8 @@ def main():
     art = scene.art
     D, B, L = art.ndof, scene.nbodies, art.nlinks
     (fk, site_jacobian, point_jacobian_tau, point_velocity,
-     point_jacobian_rows, point_jacobian_planes) = make_kinematics(art)
+     point_jacobian_rows, point_jacobian_planes,
+     point_jacobian_rows_soa) = make_kinematics(art)
     mass_matrix, bias_forces, link_jacobians, com_world = make_dynamics(
         art, gravity=config.gravity)
     narrowphase, _ = make_narrowphase(scene, config.max_contacts)

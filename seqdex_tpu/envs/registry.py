@@ -64,6 +64,13 @@ def _populate():
     _REGISTRY.setdefault("ToolPositioningGrasp", lambda **kw: make_tool_grasp_env(**kw))
     _REGISTRY.setdefault("ToolPositioningOrient", lambda **kw: make_tool_orient_env(**kw))
     _REGISTRY.setdefault("ToolPositioningChain", lambda **kw: make_tool_chain_env(**kw))
+    # baselines (`..._chain_tstar.py`, `..._chain_pure_rl.py`): both run the
+    # same chained physical task; T* adds ONLINE T-value probes (harness in
+    # `seqdex_tpu.seqdex.tstar`), PureRL trains one monolithic policy over
+    # the full horizon (no phase handoff — the trainer simply uses a single
+    # agent on this env)
+    _REGISTRY.setdefault("ToolPositioningChainTSTAR", lambda **kw: make_tool_chain_env(**kw))
+    _REGISTRY.setdefault("ToolPositioningChainPureRL", lambda **kw: make_tool_chain_env(**kw))
 
     import dataclasses as _dc
 

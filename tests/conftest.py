@@ -15,3 +15,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # persistent compile cache: the unrolled FK/contact graphs take minutes to
 # compile on CPU; cache across test sessions
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+
+# the environment's sitecustomize registers the TPU ('axon') PJRT plugin at
+# interpreter start and pins jax to it BEFORE this conftest runs — the env
+# var alone is ignored. Override through jax.config (works as long as no
+# backend has been initialised yet).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
