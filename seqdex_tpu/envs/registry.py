@@ -96,5 +96,10 @@ def _populate():
         lambda **kw: make_chain_eval_env(ChainEvalConfig(**kw)),
     )
 
+    from .reorientation import make_moar_env
+
+    # standalone in-hand multi-object axis-rotation env (`utils/morb.py:50`)
+    _REGISTRY.setdefault("AllegroArmMOAR", lambda **kw: make_moar_env(**kw))
+
 
 _populate()
