@@ -91,9 +91,21 @@ def main():
         state, out = jax.vmap(env.step)(state, action)
         return state, out.obs
 
+    # thread the carry through the timing loop: donated buffers must not be
+    # reused across calls (donate+static-args would fail on standard
+    # jaxlib backends)
     pol = jax.jit(pol, donate_argnums=(0,))
     obs = state.obs_stack.reshape(num_envs, -1)
-    dt = timeit("policy_step", pol, state, obs)
+    iters, warmup = 30, 8
+    for _ in range(warmup):
+        state, obs = pol(state, obs)
+    jax.block_until_ready(obs)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, obs = pol(state, obs)
+    jax.block_until_ready(obs)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"policy_step {dt*1e3:9.3f} ms", flush=True)
     print(f"steps/s/chip: {num_envs/dt:.0f}", flush=True)
 
 

@@ -34,14 +34,24 @@ def main(argv=None):
         from ..envs.block_assembly.insert_sim import InsertSimConfig, make_insert_sim_env
         from ..envs.block_assembly.orient import OrientConfig, make_orient_env
         from ..envs.block_assembly.search import SearchConfig, make_search_env
+        from ..seqdex import tvalue as tvlib
 
+        # env counts from `scripts/bi_optimization.py:113-116`; every factory
+        # forwards both the upstream reservoir and the stage's T-value params
         stages = [
             StageSpec("search", lambda reservoir=None, tvalue_params=None:
-                      make_search_env(), 128, args.epochs_per_stage),
+                      make_search_env(tvalue_params=tvalue_params),
+                      128, args.epochs_per_stage,
+                      tvalue_in_dim=tvlib.RETRI_GRASP_IN,
+                      tvalue_hidden=tvlib.RETRI_GRASP_HIDDEN),
             StageSpec("orient", lambda reservoir=None, tvalue_params=None:
-                      make_orient_env(reservoir=reservoir), 512, args.epochs_per_stage),
+                      make_orient_env(reservoir=reservoir,
+                                      tvalue_params=tvalue_params),
+                      512, args.epochs_per_stage),
             StageSpec("grasp", lambda reservoir=None, tvalue_params=None:
-                      make_grasp_sim_env(), 512, args.epochs_per_stage),
+                      make_grasp_sim_env(reservoir=reservoir,
+                                         tvalue_params=tvalue_params),
+                      512, args.epochs_per_stage),
             StageSpec("insert", lambda reservoir=None, tvalue_params=None:
                       make_insert_sim_env(reservoir=reservoir), 512,
                       args.epochs_per_stage),
@@ -54,9 +64,13 @@ def main(argv=None):
 
         stages = [
             StageSpec("tool_grasp", lambda reservoir=None, tvalue_params=None:
-                      make_tool_grasp_env(), 512, args.epochs_per_stage),
+                      make_tool_grasp_env(reservoir=reservoir,
+                                          tvalue_params=tvalue_params),
+                      512, args.epochs_per_stage),
             StageSpec("tool_orient", lambda reservoir=None, tvalue_params=None:
-                      make_tool_orient_env(), 512, args.epochs_per_stage),
+                      make_tool_orient_env(reservoir=reservoir,
+                                           tvalue_params=tvalue_params),
+                      512, args.epochs_per_stage),
         ]
 
     opt = BiOptimizer(
@@ -68,7 +82,10 @@ def main(argv=None):
             seed=args.seed,
         ),
     )
-    return opt.run()
+    policies = opt.run()
+    opt.save_reservoirs(args.logdir)
+    opt.save_tvalues(args.logdir)
+    return policies
 
 
 if __name__ == "__main__":

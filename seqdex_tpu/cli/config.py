@@ -59,6 +59,55 @@ def load_cfg(task: str, overrides: Optional[dict] = None) -> dict:
     return cfg
 
 
+# yaml env/sim keys -> env Config dataclass field names
+_ENV_KEY_MAP = {
+    "episodeLength": "episode_length",
+    "actionsMovingAverage": "action_moving_average",
+    "legoType": "lego_type",
+    "heapBricks": "heap_bricks",
+    "heapTypes": "heap_types",
+    "forceScale": "force_scale",
+    "randomize": "randomize",
+}
+_SIM_KEY_MAP = {
+    "substeps": "substeps",
+    "solver_iterations": "solver_iterations",
+    "max_contacts": "max_contacts",
+}
+
+
+def env_kwargs_from_cfg(cfg: dict) -> dict:
+    """Map a loaded YAML cfg (env + sim blocks) to env-Config dataclass
+    kwargs consumable by `registry.make(task, **kwargs)` — the wiring the
+    reference does in `parse_task`/env `__init__` (cfg dict -> attributes)."""
+    kw = {}
+    for yk, fk in _ENV_KEY_MAP.items():
+        if yk in cfg.get("env", {}):
+            kw[fk] = cfg["env"][yk]
+    for yk, fk in _SIM_KEY_MAP.items():
+        if yk in cfg.get("sim", {}):
+            kw[fk] = cfg["sim"][yk]
+    return kw
+
+
+def ppo_kwargs_from_cfg(cfg: dict) -> dict:
+    """train block -> PPOConfig kwargs (rl_games YAML analog)."""
+    t = cfg.get("train", {})
+    out = {}
+    mapping = {
+        "horizon": "horizon", "minibatches": "num_minibatches",
+        "mini_epochs": "mini_epochs", "lr": "learning_rate",
+        "kl_threshold": "kl_threshold", "gamma": "gamma", "tau": "tau",
+        "e_clip": "e_clip",
+    }
+    for yk, fk in mapping.items():
+        if yk in t:
+            out[fk] = t[yk]
+    if "numEnvs" in cfg.get("env", {}):
+        out["num_envs"] = cfg["env"]["numEnvs"]
+    return out
+
+
 def set_seed(seed: int, deterministic: bool = False) -> int:
     """python/numpy seeding (torch-deterministic flag parity is a no-op —
     JAX is deterministic given PRNG keys)."""

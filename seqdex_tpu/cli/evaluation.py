@@ -38,22 +38,41 @@ def main(argv=None):
     from ..rl import networks
     from ..seqdex.evaluation import evaluate_chain
 
-    envs = {
-        "search": make_search_env(),
-        "orient": make_orient_env(),
-        "grasp": make_grasp_sim_env(),
-        "insert": make_insert_sim_env(),
+    factories = {
+        "search": lambda reservoir=None, tvalue_params=None:
+            make_search_env(tvalue_params=tvalue_params),
+        "orient": lambda reservoir=None, tvalue_params=None:
+            make_orient_env(reservoir=reservoir, tvalue_params=tvalue_params),
+        "grasp": lambda reservoir=None, tvalue_params=None:
+            make_grasp_sim_env(reservoir=reservoir, tvalue_params=tvalue_params),
+        "insert": lambda reservoir=None, tvalue_params=None:
+            make_insert_sim_env(reservoir=reservoir),
+    }
+    # policy dims per stage (building the envs here would settle the Search
+    # heap twice; dims are static module constants)
+    from ..envs.block_assembly import grasp_sim as _g
+    from ..envs.block_assembly import insert_sim as _i
+    from ..envs.block_assembly import orient as _o
+    from ..envs.block_assembly import search as _s
+
+    dims = {
+        "search": (_s.ONE_FRAME_OBS * _s.STACK, _s.ONE_FRAME_STATES * _s.STACK),
+        "orient": (_o.ONE_FRAME_OBS * _o.STACK, _o.ONE_FRAME_STATES * _o.STACK),
+        "grasp": (_g.ONE_FRAME_OBS * _g.STACK, _g.ONE_FRAME_STATES * _g.STACK),
+        "insert": (_i.ONE_FRAME_OBS * _i.STACK, _i.ONE_FRAME_STATES * _i.STACK),
     }
     ckpts = dict(kv.split("=", 1) for kv in args.checkpoints)
     params = {}
-    for name, env in envs.items():
+    for name in factories:
+        num_obs, num_states = dims[name]
         template = networks.init_actor_critic(
-            jax.random.PRNGKey(0), env.num_obs, env.num_states, env.num_actions
+            jax.random.PRNGKey(0), num_obs, num_states, 23
         )
         params[name] = (
             load_params(ckpts[name], template) if name in ckpts else template
         )
-    results = evaluate_chain(envs, params, args.num_envs, args.episodes, args.seed)
+    results = evaluate_chain(
+        factories, params, args.num_envs, args.episodes, args.seed)
     print(json.dumps(results))
     return results
 

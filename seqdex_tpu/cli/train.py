@@ -21,16 +21,28 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="seqdex_tpu trainer")
     p.add_argument("--task", default="BlockAssemblyGraspSim")
-    p.add_argument("--num_envs", type=int, default=1024)
+    # None = fall back to the task YAML (`seqdex_tpu/configs/<task>.yaml`,
+    # mirror of the reference cfg merge, `utils/config.py:94-182`), then to
+    # the PPOConfig defaults
+    p.add_argument("--num_envs", type=int, default=None)
     p.add_argument("--max_iterations", type=int, default=10000)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--play", action="store_true", help="evaluate a checkpoint")
     p.add_argument("--checkpoint", default="")
+    p.add_argument("--resume", default="",
+                   help="full TrainState snapshot to resume training from "
+                        "(reference --resume, utils/config.py:141-145)")
     p.add_argument("--logdir", default="runs/seqdex")
-    p.add_argument("--horizon", type=int, default=8)
-    p.add_argument("--minibatches", type=int, default=4)
-    p.add_argument("--mini_epochs", type=int, default=5)
-    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--horizon", type=int, default=None)
+    p.add_argument("--minibatches", type=int, default=None)
+    p.add_argument("--mini_epochs", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--randomize", action="store_true",
+                   help="enable the domain-randomization engine "
+                        "(base_task.py:229-423 schema)")
+    p.add_argument("--recurrent", action="store_true",
+                   help="LSTM actor/critic (rl_games rnn family, "
+                        "cfg/lego/ppo_continuous_lstm.yaml)")
     p.add_argument("--save_every", type=int, default=1000)
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--episodes", type=int, default=10, help="play-mode episodes")
@@ -39,30 +51,62 @@ def parse_args(argv=None):
 
 
 def build(args):
+    import dataclasses as _dc
+
     from ..distributed import mesh as meshlib
     from ..envs import registry
     from ..rl.ppo import PPOConfig, make_ppo
+    from . import config as cfglib
 
-    env = registry.make(args.task)
-    cfg = PPOConfig(
-        num_envs=args.num_envs,
-        horizon=args.horizon,
-        num_minibatches=args.minibatches,
-        mini_epochs=args.mini_epochs,
-        learning_rate=args.lr,
-    )
-    init, train_epoch, act = make_ppo(env, cfg)
+    yaml_cfg = cfglib.load_cfg(args.task)
+    env_kwargs = cfglib.env_kwargs_from_cfg(yaml_cfg)
+    if args.randomize:
+        env_kwargs["randomize"] = True
+    try:
+        env = registry.make(args.task, **env_kwargs)
+    except TypeError:
+        # task config does not expose some yaml key (e.g. aliases) — retry bare
+        env = registry.make(args.task)
+
+    ppo_kwargs = cfglib.ppo_kwargs_from_cfg(yaml_cfg)
+    # explicit CLI flags override the YAML layer
+    for flag, field in (("num_envs", "num_envs"), ("horizon", "horizon"),
+                        ("minibatches", "num_minibatches"),
+                        ("mini_epochs", "mini_epochs"), ("lr", "learning_rate")):
+        v = getattr(args, flag)
+        if v is not None:
+            ppo_kwargs[field] = v
+    ppo_kwargs.setdefault("num_envs", 1024)
+    cfg = PPOConfig(**ppo_kwargs)
+    if getattr(args, "recurrent", False):
+        from ..rl.ppo_lstm import make_recurrent_ppo
+
+        init, train_epoch, act = make_recurrent_ppo(env, cfg)
+    else:
+        init, train_epoch, act = make_ppo(env, cfg)
     return env, cfg, init, train_epoch, act
 
 
 def train(args):
     from ..distributed import mesh as meshlib
-    from ..distributed.checkpoint import Checkpointer
+    from ..distributed.checkpoint import (
+        Checkpointer,
+        load_params,
+        load_train_state,
+    )
     from ..utils.metrics import MetricsWriter
 
     env, cfg, init, train_epoch, act = build(args)
     mesh = meshlib.make_mesh(args.devices or None)
     ts = init(jax.random.PRNGKey(args.seed))
+    start_epoch = 0
+    if args.resume:
+        ts = load_train_state(args.resume, ts)
+        start_epoch = int(ts.epoch)
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+    elif args.checkpoint:
+        # warm-start the policy params only (rl_games --checkpoint)
+        ts = ts._replace(params=load_params(args.checkpoint, ts.params))
     if len(mesh.devices.flat) > 1:
         ts = meshlib.shard_train_state(ts, mesh, cfg.num_envs)
     train_epoch = jax.jit(train_epoch, donate_argnums=(0,))
@@ -72,20 +116,25 @@ def train(args):
     t_start = time.time()
     steps_per_epoch = cfg.num_envs * cfg.horizon
     with mesh:
-        for epoch in range(args.max_iterations):
+        for epoch in range(start_epoch, args.max_iterations):
             ts, metrics = train_epoch(ts)
             if epoch % args.log_every == 0 or epoch == args.max_iterations - 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 elapsed = time.time() - t_start
-                m["env_steps_per_sec"] = steps_per_epoch * (epoch + 1) / elapsed
+                m["env_steps_per_sec"] = (
+                    steps_per_epoch * (epoch + 1 - start_epoch) / elapsed)
                 writer.write(epoch, m)
                 print(
                     f"epoch {epoch} reward {m['reward_mean']:.4f} "
                     f"success {m['success_rate']:.3f} kl {m['kl']:.4f} "
                     f"lr {m['lr']:.2e} fps {m['env_steps_per_sec']:.0f}"
                 )
-                ckpt.maybe_save(ts, epoch, m["reward_mean"], name=args.task)
+                ckpt.maybe_save(ts, epoch, m["reward_mean"], name=args.task,
+                                full_state=True)
     ckpt.maybe_save(ts, args.max_iterations, float("inf"), name=args.task)
+    from ..distributed.checkpoint import save_train_state
+
+    save_train_state(os.path.join(args.logdir, f"{args.task}_resume.npz"), ts)
     return ts
 
 

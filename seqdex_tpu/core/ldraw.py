@@ -100,35 +100,51 @@ def to_body_specs(parts: List[LdrPart], with_studs: bool = True):
     return out
 
 
-def to_urdf(parts: List[LdrPart], name: str = "ldr_model") -> str:
-    """Emit a single URDF with one fixed-base link per part (box collision
-    from the brick footprint) — the interchange format the reference
-    converter produces (`ldr2urdf.py` link template)."""
+def _part_urdf(spec, kind: str, pos, rpy, name: str) -> str:
+    """One standalone single-link URDF for one part (the reference converter
+    emits one URDF file per part, `assets/urdf/blender/ldr2urdf.py`). The
+    part pose is applied to inertial, visual AND collision origins so
+    standard parsers (pybullet, urdfpy) place the whole body."""
+    half = spec.geoms[0].size
+    origin = (
+        f'<origin xyz="{pos[0]:.6f} {pos[1]:.6f} {pos[2]:.6f}" '
+        f'rpy="{rpy[0]:.6f} {rpy[1]:.6f} {rpy[2]:.6f}"/>'
+    )
+    box = (f'<geometry><box size="{2*half[0]:.6f} {2*half[1]:.6f} '
+           f'{2*half[2]:.6f}"/></geometry>')
+    return "\n".join([
+        '<?xml version="1.0" ?>',
+        f'<robot name="{name}">',
+        f'  <link name="{name}">',
+        "    <inertial>",
+        f"      {origin}",
+        f'      <mass value="{spec.mass:.6f}"/>',
+        '      <inertia ixx="1e-6" iyy="1e-6" izz="1e-6" ixy="0" ixz="0" iyz="0"/>',
+        "    </inertial>",
+        f"    <visual>\n      {origin}\n      {box}\n    </visual>",
+        f"    <collision>\n      {origin}\n      {box}\n    </collision>",
+        "  </link>",
+        "</robot>",
+    ])
+
+
+def to_urdf(parts: List[LdrPart], name: str = "ldr_model") -> List[str]:
+    """Emit one single-root URDF string PER PART (box collision from the
+    brick footprint) — matching the reference converter, which writes one
+    URDF file per placed part (`assets/urdf/blender/ldr2urdf.py`). URDF
+    requires a single-root kinematic tree, so a multi-part model is a list
+    of independent documents, not one multi-link file."""
     from . import builders
 
-    lines = ['<?xml version="1.0" ?>', f'<robot name="{name}">']
+    docs = []
     for i, p in enumerate(parts):
         kind = p.kind
         if kind is None:
             continue
         spec = builders.lego_brick(kind, with_studs=False, name=f"part_{i}")
-        half = spec.geoms[0].size
         rpy = _matrix_to_rpy(p.rot)
-        lines += [
-            f'  <link name="part_{i}_{kind}">',
-            "    <inertial>",
-            f'      <mass value="{spec.mass:.6f}"/>',
-            '      <inertia ixx="1e-6" iyy="1e-6" izz="1e-6" ixy="0" ixz="0" iyz="0"/>',
-            "    </inertial>",
-            "    <collision>",
-            f'      <origin xyz="{p.pos[0]:.6f} {p.pos[1]:.6f} {p.pos[2]:.6f}" '
-            f'rpy="{rpy[0]:.6f} {rpy[1]:.6f} {rpy[2]:.6f}"/>',
-            f'      <geometry><box size="{2*half[0]:.6f} {2*half[1]:.6f} {2*half[2]:.6f}"/></geometry>',
-            "    </collision>",
-            "  </link>",
-        ]
-    lines.append("</robot>")
-    return "\n".join(lines)
+        docs.append(_part_urdf(spec, kind, p.pos, rpy, f"{name}_part_{i}_{kind}"))
+    return docs
 
 
 def _matrix_to_rpy(R: np.ndarray):

@@ -39,6 +39,30 @@ def load_params(path: str, template):
     return jax.tree_util.tree_unflatten(treedef, loaded)
 
 
+def save_train_state(path: str, ts) -> None:
+    """Full TrainState snapshot (params + optimizer + value-norm + env state
+    + PRNG key + epoch) for mid-training resume — the reference's
+    `--resume`/`load_checkpoint` path (`utils/config.py:141-145`)."""
+    flat, _ = jax.tree_util.tree_flatten(ts)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, *[np.asarray(x) for x in flat])
+
+
+def load_train_state(path: str, template):
+    """Restore a TrainState saved by `save_train_state`. `template` must be
+    a TrainState with identical structure (same env/PPO config)."""
+    flat, treedef = jax.tree_util.tree_flatten(template)
+    data = np.load(path)
+    assert len(data.files) == len(flat), (
+        f"checkpoint has {len(data.files)} leaves, expected {len(flat)} — "
+        "env/PPO config mismatch")
+    loaded = [
+        jnp.asarray(data[f"arr_{i}"]).astype(np.asarray(t).dtype)
+        for i, t in enumerate(flat)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, loaded)
+
+
 class Checkpointer:
     """Periodic + best checkpointing of the full TrainState (orbax) with
     params-only .npz export alongside."""
@@ -56,10 +80,14 @@ class Checkpointer:
         else:
             self._mgr = None
 
-    def maybe_save(self, ts, epoch: int, mean_reward: float, name: str = "policy"):
+    def maybe_save(self, ts, epoch: int, mean_reward: float, name: str = "policy",
+                   full_state: bool = False):
         saved = False
         if epoch % self.save_every == 0 and epoch > 0:
             self._save(ts, epoch, name=f"{name}_ep{epoch}")
+            if full_state:
+                save_train_state(
+                    os.path.join(self.directory, f"{name}_resume.npz"), ts)
             saved = True
         if mean_reward > self.best_reward:
             self.best_reward = mean_reward

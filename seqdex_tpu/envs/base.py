@@ -49,6 +49,16 @@ class Env:
     # optional: returns obs for the current state without stepping
     observe: Callable = None
     sim: Any = None  # underlying Simulator (for tests/diagnostics)
+    # chain hooks (the reference's terminal-state pickle / HDF5 machinery,
+    # `search.py:1304-1355`, `grasp_sim.py:1399-1458`):
+    #   collect_terminal_states(params, num_envs, steps, seed) -> sampler
+    #     rolls the policy and harvests per-type terminal states into a
+    #     reservoir sampler the successor stage's `reservoir=` consumes.
+    #   collect_tvalue_data(params, num_envs, steps, seed) -> (succ, fail)
+    #     rolls the policy and returns labelled T-value training inputs
+    #     (the env's hdf5 success/failure dumps, `..._orient.py:1470-1500`).
+    collect_terminal_states: Callable = None
+    collect_tvalue_data: Callable = None
 
 
 def select_tree(pred, a, b):

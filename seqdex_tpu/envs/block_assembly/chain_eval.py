@@ -48,11 +48,14 @@ from .search import SearchConfig, _settle_heaps
 
 _TARGET_EULER = (0.0, 3.1415, 1.571)
 
-# phase windows (offsets of the reference's, which start after a 101-step
+# phase lengths (offsets of the reference's, which start after a 101-step
 # settle the pre-settled heap makes unnecessary: dig 140, spin 120, grasp
-# 175, insert 100 steps — `gui.py:2822,2853,2891,2939`)
-PHASES = {"dig": (0, 140), "spin": (140, 260), "grasp": (260, 435), "insert": (435, 535)}
-EPISODE_LENGTH = 535
+# 175, insert 100 steps — `gui.py:2822,2853,2891,2939`). Phases ADVANCE on
+# success and RETRY on failure (the `assemble_one_lego` retry loops,
+# `gui.py:2755-2775`), so the episode length is a cap, not a schedule.
+PHASE_LEN = (140, 120, 175, 100)  # dig, spin, grasp, insert
+MAX_RETRIES = 2  # per phase, mirroring the GUI retry-until-success loops
+EPISODE_LENGTH = 535 + 300  # schedule + retry allowance
 
 OBS_DIMS = {"dig": 65, "spin": 62, "grasp": 132, "insert": 75}
 STACKS = {"dig": 3, "spin": 3, "grasp": 3, "insert": 1}
@@ -83,14 +86,21 @@ class ChainTaskState(NamedTuple):
     socket_rot: jnp.ndarray
     successes: jnp.ndarray
     actions: jnp.ndarray
+    phase_idx: jnp.ndarray  # i32: 0 dig, 1 spin, 2 grasp, 3 insert
+    phase_timer: jnp.ndarray  # i32 steps inside the current phase
+    retries: jnp.ndarray  # i32 retries used in the current phase
+    inserted: jnp.ndarray  # bool: insert succeeded; brick snapped to mate
 
 
 def phase_of(progress):
-    """0 dig, 1 spin, 2 grasp, 3 insert."""
+    """Legacy fixed-schedule phase lookup (retained for callers that drive
+    open-loop; the env itself tracks `phase_idx` with retries)."""
+    bounds = (PHASE_LEN[0], PHASE_LEN[0] + PHASE_LEN[1],
+              PHASE_LEN[0] + PHASE_LEN[1] + PHASE_LEN[2])
     p = jnp.int32(0)
-    p = jnp.where(progress >= PHASES["spin"][0], 1, p)
-    p = jnp.where(progress >= PHASES["grasp"][0], 2, p)
-    p = jnp.where(progress >= PHASES["insert"][0], 3, p)
+    p = jnp.where(progress >= bounds[0], 1, p)
+    p = jnp.where(progress >= bounds[1], 2, p)
+    p = jnp.where(progress >= bounds[2], 3, p)
     return p
 
 
@@ -109,12 +119,14 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
         statics=[builders.table(), builders.ground()] + builders.bin_walls(),
     )
     art = scene.art
+    _force_links = tuple(art.link_index(n) for n in builders.FSR_LINKS)
     sim = make_sim(
         scene,
         SimConfig(
             substeps=cfg.substeps,
             solver_iterations=cfg.solver_iterations,
             max_contacts=cfg.max_contacts,
+            force_links=_force_links,
         ),
     )
     D = art.ndof
@@ -147,12 +159,12 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
 
     search_like = SearchConfig(
         heap_bricks=NB, heap_pool=cfg.heap_pool, settle_steps=cfg.settle_steps,
-        lego_type=cfg.lego_type, substeps=cfg.substeps,
+        substeps=cfg.substeps,
         solver_iterations=cfg.solver_iterations, max_contacts=cfg.max_contacts,
     )
     import numpy as _np
 
-    heap_pos_np, heap_quat_np = _settle_heaps(sim, scene, search_like, 0)
+    heap_pos_np, heap_quat_np = _settle_heaps(sim, search_like)
     # pad kinematic socket slot
     heap_pos = jnp.asarray(heap_pos_np)
     heap_quat = jnp.asarray(heap_quat_np)
@@ -287,6 +299,10 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
             target_init_pos=s.body_pos[target], socket_pos=sp, socket_rot=sq,
             successes=jnp.float32(0.0),
             actions=jnp.zeros(23, dtype=jnp.float32),
+            phase_idx=jnp.int32(0),
+            phase_timer=jnp.int32(0),
+            retries=jnp.int32(0),
+            inserted=jnp.bool_(False),
         )
         fk_res = sim.fk(s.q, s.qd)
         frames, _ = _observe(state, fk_res)
@@ -301,7 +317,7 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
         s = state.sim
         fk_res = sim.fk(s.q, s.qd)
         prog = state.progress
-        phase = phase_of(prog)
+        phase = state.phase_idx
         tb = state.target_brick
         tgt_pos = s.body_pos[tb]
 
@@ -324,7 +340,7 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
             jnp.concatenate([s.q[:7] + delta, fingers]), lower, upper
         )
         s = s._replace(ctrl=targets)
-        s = sim.step(s)
+        s = sim.step(s, fk0=fk_res)
         prog = prog + 1
         state = state._replace(sim=s, progress=prog, prev_targets=targets, actions=action)
 
@@ -340,11 +356,59 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
         qd2 = quat_mul(tgt_rot, quat_conjugate(quat_mul(state.socket_rot, z_flip)))
         rot2 = 2.0 * jnp.arcsin(jnp.clip(jnp.linalg.norm(qd2[:3]), None, 1.0))
         rot_dist = jnp.minimum(rot1, rot2)
-        success = jnp.where((pos_dist < 0.02) & (rot_dist < 0.2), 1.0, 0.0)
+        insert_ok = (pos_dist < 0.02) & (rot_dist < 0.2)
+        success = jnp.where(insert_ok | state.inserted, 1.0, 0.0)
+
+        # ---- retry state machine (`assemble_one_lego`, `gui.py:2755-2775`):
+        # a phase advances when its success predicate holds at the end of
+        # its window; otherwise it retries (up to MAX_RETRIES) ----
+        phase_len = jnp.asarray(PHASE_LEN, dtype=jnp.int32)[phase]
+        timer = state.phase_timer + 1
+        window_over = timer >= phase_len
+        lift = tgt_pos[2] - state.target_init_pos[2]
+        z_axis = quat_apply(tgt_rot, jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32))
+        z_align = jnp.sign(z_axis[2]) * z_axis[2] ** 2
+        # per-phase completion predicates (dig: block reachable/unburied ~
+        # moved; spin: face-up; grasp: lifted & held; insert: predicate)
+        dug = jnp.linalg.norm(tgt_pos[:2] - state.target_init_pos[:2]) < 0.2
+        phase_ok = jnp.stack([
+            dug & (z_align > -0.5),        # dig: target not lost/buried deeper
+            z_align > 0.8,                 # spin: face-up (`is_spin_success`)
+            (lift > 0.08),                 # grasp: lifted (`is_grasping_success`)
+            insert_ok,                     # insert (`is_insertion_success`)
+        ])[phase]
+        # insert succeeds mid-window too (no need to wait the window out)
+        advance = (window_over & phase_ok) | ((phase == 3) & insert_ok)
+        retry = window_over & ~phase_ok & (state.retries < MAX_RETRIES)
+        give_up = window_over & ~phase_ok & (state.retries >= MAX_RETRIES)
+
+        new_phase = jnp.where(advance, jnp.minimum(phase + 1, 3), phase)
+        new_timer = jnp.where(advance | retry, 0, timer)
+        new_retries = jnp.where(advance, 0,
+                                jnp.where(retry, state.retries + 1, state.retries))
+        inserted = state.inserted | ((phase == 3) & insert_ok)
+
+        # inserted-mesh swap trick (`change_inserted_lego_mesh`,
+        # `gui.py:2474-2566`): once inserted, snap the brick to the exact
+        # mate pose and kill its velocity so later motion can't knock it off
+        snap_pos = jnp.where(inserted, sock_tgt, s.body_pos[tb])
+        snap_rot = jnp.where(inserted, state.socket_rot, s.body_quat[tb])
+        s = s._replace(
+            body_pos=s.body_pos.at[tb].set(snap_pos),
+            body_quat=s.body_quat.at[tb].set(snap_rot),
+            body_linvel=jnp.where(
+                inserted, s.body_linvel.at[tb].set(0.0), s.body_linvel),
+            body_angvel=jnp.where(
+                inserted, s.body_angvel.at[tb].set(0.0), s.body_angvel),
+        )
 
         timed_out = prog >= EPISODE_LENGTH - 1
-        done = timed_out
-        state = state._replace(obs=obs, reset_flag=done, successes=success)
+        done = timed_out | inserted | give_up
+        state = state._replace(
+            sim=s, obs=obs, reset_flag=done, successes=success,
+            phase_idx=new_phase, phase_timer=new_timer, retries=new_retries,
+            inserted=inserted,
+        )
 
         out = StepOutput(
             obs=clip_obs(obs["grasp"].reshape(-1)),  # default stream
@@ -354,6 +418,8 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
             info={
                 "successes": success,
                 "phase": phase,
+                "retries": state.retries,
+                "inserted": inserted.astype(jnp.float32),
                 "pos_dist": pos_dist,
                 "rot_dist": rot_dist,
                 "obs_dig": clip_obs(obs["dig"].reshape(-1)),

@@ -76,6 +76,10 @@ class GraspSimConfig:
     # carries only proprioception + action history (no sim-privileged object
     # state) — the deployable observation protocol
     real_obs: bool = False
+    # domain-randomization engine (`base_task.py:229-423` schema via
+    # `envs/randomization.py`): physical scales sampled per reset into the
+    # SimState DR fields
+    randomize: bool = False
 
 
 class GraspTaskState(NamedTuple):
@@ -105,7 +109,16 @@ def control_ik(j_eef: jnp.ndarray, dpose: jnp.ndarray, damping: float = 0.05):
     return jt @ jnp.linalg.solve(j_eef @ jt + lmbda, dpose)
 
 
-def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
+def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
+                       tvalue_params=None) -> Env:
+    """reservoir: `handoff.BlockPoseSampler` of Orient terminal block poses
+    (reference loads Search/Orient terminal pickles at reset,
+    `..._grasp_sim.py:412-415,1448+`). tvalue_params: GraspInsertTValue
+    params — gates terminal-state saving at confidence > 0.8
+    (`..._grasp_sim.py:1404-1407`) during the bi-opt backward pass."""
+    if reservoir is not None and hasattr(reservoir, "count") and \
+            reservoir.count(builders.LEGO_TYPES.index(cfg.lego_type)) == 0:
+        reservoir = None  # empty bucket -> synthetic reset fallback
     art_spec = builders.franka_allegro()
     brick = builders.lego_brick(cfg.lego_type, name="target")
     scene = compile_scene(
@@ -114,12 +127,14 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
         statics=[builders.table(), builders.ground()],
     )
     art = scene.art
+    _force_links = tuple(art.link_index(n) for n in builders.FSR_LINKS)
     sim = make_sim(
         scene,
         SimConfig(
             substeps=cfg.substeps,
             solver_iterations=cfg.solver_iterations,
             max_contacts=cfg.max_contacts,
+            force_links=_force_links,
         ),
     )
     D = art.ndof
@@ -159,16 +174,35 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
         off = quat_apply(q, jnp.tile(jnp.asarray([0.0, 0.0, 0.04], dtype=jnp.float32), (4, 1)))
         return p + off
 
+    type_idx = builders.LEGO_TYPES.index(cfg.lego_type)
+
+    if cfg.randomize:
+        from ...envs.randomization import RandomizationParams, sample_factors
+
+        rand_params = RandomizationParams()
+
     def _reset_sim(key) -> tuple:
         k1, k2, k3 = jax.random.split(key, 3)
         s = sim.init_state(default_q)
-        # block: upright on the table near the bin center, random yaw
-        xy = jnp.asarray([0.25, 0.19], dtype=jnp.float32) + cfg.reset_pos_noise * (
-            jax.random.uniform(k1, (2,)) * 2 - 1
-        )
-        yaw = cfg.reset_yaw_noise * (jax.random.uniform(k2, ()) * 2 - 1)
-        bq = quat_from_angle_axis(yaw, jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32))
-        bp = jnp.concatenate([xy, jnp.asarray([0.619], dtype=jnp.float32)])
+        if cfg.randomize:
+            f = sample_factors(rand_params, k3, jnp.float32(1e6), 1, 1, D)
+            s = s._replace(
+                kp_scale=f.kp_scale, kd_scale=f.kd_scale,
+                mu_scale=f.friction_scale, mass_scale=f.mass_scale,
+                gravity_offset=f.gravity_offset,
+            )
+        if reservoir is not None:
+            # draw an oriented-block terminal pose from the upstream stage's
+            # per-type reservoir (`..._grasp_sim.py:1448-1455`)
+            bp, bq = reservoir.sample(k1, type_idx=type_idx)
+        else:
+            # synthetic fallback: upright block near bin center, random yaw
+            xy = jnp.asarray([0.25, 0.19], dtype=jnp.float32) + cfg.reset_pos_noise * (
+                jax.random.uniform(k1, (2,)) * 2 - 1
+            )
+            yaw = cfg.reset_yaw_noise * (jax.random.uniform(k2, ()) * 2 - 1)
+            bq = quat_from_angle_axis(yaw, jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32))
+            bp = jnp.concatenate([xy, jnp.asarray([0.619], dtype=jnp.float32)])
         s = s._replace(
             q=default_q,
             qd=jnp.zeros(D, dtype=jnp.float32),
@@ -305,7 +339,7 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
         st = st.at[177:181].set(cam_tgt_rot)
         st = st.at[181:184].set(cam_tgt_pos)
         st = st.at[184:188].set(cam_tgt_rot)
-        return obs, st, key
+        return obs, st, key, cam_tgt_rot
 
     def reset(key) -> GraspTaskState:
         k0, k1 = jax.random.split(key)
@@ -325,7 +359,7 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
             actions=jnp.zeros(NUM_ACTIONS, dtype=jnp.float32),
         )
         fk_res = sim.fk(s.q, s.qd)
-        obs, st, key = _observe(state, fk_res)
+        obs, st, key, _ = _observe(state, fk_res)
         state = state._replace(
             obs_stack=push_frame(state.obs_stack, obs),
             state_stack=push_frame(state.state_stack, st),
@@ -383,7 +417,7 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
                     jnp.where(fire, kick, 0.0)
                 )
             )
-        s = sim.step(s)
+        s = sim.step(s, fk0=fk_res)
         prog = prog + 1
 
         state = state._replace(
@@ -391,7 +425,7 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
         )
 
         fk_res2 = sim.fk(s.q, s.qd)
-        obs, st, key = _observe(state, fk_res2)
+        obs, st, key, cam_tgt_rot = _observe(state, fk_res2)
         obs_stack = push_frame(state.obs_stack, obs)
         state_stack = push_frame(state.state_stack, st)
 
@@ -421,6 +455,19 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
         # timeout penalty (0.5 * fall_penalty, fall_penalty = 0 in cfg)
         success = jnp.where((lift > 0.1) & (lego_z_align > 0.6), 1.0, 0.0)
 
+        # terminal-state handoff + T-value gating (`..._grasp_sim.py:1399-1458`):
+        # a grasp terminal is save-worthy when the episode ends held (not
+        # slipped) and lifted; the backward pass additionally gates on the
+        # Grasp->Insert T-value confidence > 0.8 (`:1404-1407`)
+        grasp_ok = (success > 0.0) & (finger_dist < 0.6)
+        if tvalue_params is not None:
+            from ...seqdex.tvalue import tvalue_confidence
+
+            conf = tvalue_confidence(tvalue_params, cam_tgt_rot)
+            save_valid = done & grasp_ok & (conf > 0.8)
+        else:
+            save_valid = done & grasp_ok
+
         state = state._replace(
             obs_stack=obs_stack,
             state_stack=state_stack,
@@ -439,11 +486,22 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
                 "finger_dist": finger_dist,
                 "lift": lift,
                 "contact_forces": s.link_contact_force[jnp.asarray(fsr)],
+                # chain handoff snapshot (hand dofs + held-block pose,
+                # `..._grasp_sim.py:1399-1402`); T-value training row =
+                # (camera-frame block rot, grasp-quality label)
+                "terminal_valid": save_valid,
+                "terminal_q": s.q,
+                "terminal_pos": tgt_pos,
+                "terminal_rot": tgt_rot,
+                "terminal_type": jnp.int32(type_idx),
+                "tvalue_valid": done,
+                "tvalue_input": cam_tgt_rot,
+                "tvalue_label": jnp.where(grasp_ok, 1.0, 0.0),
             },
         )
         return state, out
 
-    return Env(
+    env = Env(
         name="BlockAssemblyGraspSim",
         num_obs=ONE_FRAME_OBS * STACK,
         num_states=ONE_FRAME_STATES * STACK,
@@ -452,4 +510,46 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig()) -> Env:
         reset=reset,
         step=step,
         sim=sim,
+    )
+
+    def collect_terminal_states(params, num_envs=64, steps=None, seed=0,
+                                sampler=None):
+        """Harvest grasp terminals into a per-type GraspTerminalSampler for
+        InsertSim resets (`..._insert_sim.py:372-375`)."""
+        from ...seqdex.handoff import GraspTerminalSampler, rollout_collect
+
+        steps = steps or cfg.episode_length + 2
+        data = rollout_collect(
+            env, params, num_envs, steps, seed=seed,
+            keys=("terminal_q", "terminal_pos", "terminal_rot", "terminal_type"),
+        )
+        sampler = sampler or GraspTerminalSampler(
+            ndof=D, num_types=len(builders.LEGO_TYPES))
+        if len(data["terminal_q"]):
+            sampler.insert(
+                jnp.asarray(data["terminal_q"]),
+                jnp.asarray(data["terminal_pos"]),
+                jnp.asarray(data["terminal_rot"]),
+                jnp.ones(len(data["terminal_q"]), dtype=bool),
+                type_idx=jnp.asarray(data["terminal_type"], dtype=jnp.int32),
+            )
+        return sampler
+
+    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0):
+        """(succ, fail) camera-frame block rotations labelled by grasp
+        quality — the env's HDF5 dump (`..._grasp_sim.py:1404-1440`); trains
+        the T-value that gates Orient's success."""
+        from ...seqdex.handoff import rollout_collect, split_tvalue_data
+
+        steps = steps or cfg.episode_length + 2
+        data = rollout_collect(
+            env, params, num_envs, steps, seed=seed,
+            keys=("tvalue_input", "tvalue_label"), valid_key="tvalue_valid",
+        )
+        return split_tvalue_data(data)
+
+    return dataclasses.replace(
+        env,
+        collect_terminal_states=collect_terminal_states,
+        collect_tvalue_data=collect_tvalue_data,
     )

@@ -32,6 +32,8 @@ from ...core.math import (
     quat_from_euler_xyz,
     quat_mul,
     scale_to_limits,
+    tf_combine,
+    tf_inverse,
     unscale_from_limits,
 )
 from ...sim.scene import compile_scene
@@ -57,6 +59,10 @@ class InsertSimConfig:
     # success predicate (`..._insert_sim.py:1666-1667`)
     success_pos_tol: float = 0.02
     success_rot_tol: float = 0.2
+    # real-aligned variant (`allegro_hand_block_assembly_insert.py`): its own
+    # 156-dim x 3-stacked obs protocol (`insert.py:172-187,1221-1246`) instead
+    # of InsertSim's 75 x 1
+    real_obs: bool = False
 
 
 class InsertTaskState(NamedTuple):
@@ -71,6 +77,7 @@ class InsertTaskState(NamedTuple):
     extra_target_rot: jnp.ndarray  # (4,)
     successes: jnp.ndarray
     actions: jnp.ndarray
+    init_cam_rot: jnp.ndarray  # (4,) camera-frame block rot at reset (T-value input)
 
 
 # wrist orientation lock (`..._insert_sim.py` target_euler, same constant as
@@ -84,6 +91,11 @@ _HOLD_ARM_QPOS = (-0.92, -0.26, 0.1, -2.5, 0.1, 2.3, 0.0)
 
 def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
                         reservoir=None) -> Env:
+    one_frame_obs = 156 if cfg.real_obs else ONE_FRAME_OBS
+    stack = 3 if cfg.real_obs else STACK
+    if reservoir is not None and hasattr(reservoir, "count") and \
+            reservoir.count(builders.LEGO_TYPES.index(cfg.lego_type)) == 0:
+        reservoir = None  # empty bucket -> synthetic reset fallback
     art_spec = builders.franka_allegro()
     brick = builders.lego_brick(cfg.lego_type, name="target")
     # socket: a kinematic brick already on the plate that the block mates to
@@ -95,12 +107,14 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         statics=[builders.table(), builders.ground()],
     )
     art = scene.art
+    _force_links = tuple(art.link_index(n) for n in builders.FSR_LINKS)
     sim = make_sim(
         scene,
         SimConfig(
             substeps=cfg.substeps,
             solver_iterations=cfg.solver_iterations,
             max_contacts=cfg.max_contacts,
+            force_links=_force_links,
         ),
     )
     D = art.ndof
@@ -109,10 +123,21 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
     hand_lower, hand_upper = lower[7:23], upper[7:23]
 
     hand_base = art.link_index(builders.HAND_BASE_LINK)
+    mount = art.link_index("panda_link7")
     tips = tuple(art.link_index(n) for n in builders.FINGERTIP_LINKS)
     fsr = tuple(art.link_index(n) for n in builders.FSR_LINKS)
     target_body = scene.body_index("target")
     socket_body = scene.body_index("socket")
+    type_idx = builders.LEGO_TYPES.index(cfg.lego_type)
+
+    # wrist camera extrinsics (same mount frame as grasp_sim `:887-889`);
+    # the camera-frame block rotation at reset is the Grasp->Insert T-value
+    # input this env labels with its own insertion outcome
+    cam_offset_quat = quat_from_euler_xyz(
+        jnp.float32(0.0), jnp.float32(-3.141 + 0.5), jnp.float32(1.571)
+    )
+    cam_offset_pos = jnp.asarray([0.03, 0.107 - 0.098, 0.067 + 0.107],
+                                 dtype=jnp.float32)
 
     target_rot_lock = quat_from_euler_xyz(*[jnp.float32(v) for v in _TARGET_EULER])
     z_flip = jnp.asarray([0.0, 0.0, 1.0, 0.0], dtype=jnp.float32)  # 180 deg about z
@@ -148,7 +173,7 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         tgt = tgt + quat_apply(sq, jnp.asarray([0.0, 0.015, 0.0], dtype=jnp.float32))
 
         if reservoir is not None:
-            q0, block_pos, block_rot = reservoir.sample(k2)
+            q0, block_pos, block_rot = reservoir.sample(k2, type_idx=type_idx)
         else:
             q0 = hold_q
             fk0 = sim.fk(q0, jnp.zeros(D, dtype=jnp.float32))
@@ -180,19 +205,44 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         tgt_pos = s.body_pos[target_body]
         tgt_rot = s.body_quat[target_body]
 
-        obs = jnp.zeros(ONE_FRAME_OBS, dtype=jnp.float32)
-        obs = obs.at[0:16].set(unscale_from_limits(q[7:23], hand_lower, hand_upper))
-        obs = obs.at[23:46].set(state.actions)
-        obs = obs.at[46:49].set(hb_pos - state.extra_target_pos)
-        obs = obs.at[49:53].set(quat_mul(hb_rot, quat_conjugate(state.extra_target_rot)))
-        obs = obs.at[53:56].set(hb_pos - tgt_pos)
-        obs = obs.at[56:60].set(quat_mul(hb_rot, quat_conjugate(tgt_rot)))
-        obs = obs.at[61:64].set(state.extra_target_pos)
-        obs = obs.at[64:68].set(state.extra_target_rot)
-        obs = obs.at[68:71].set(tgt_pos - state.extra_target_pos)
-        obs = obs.at[71:75].set(quat_mul(tgt_rot, quat_conjugate(state.extra_target_rot)))
-
         tp = _tip_pos(fk_res)
+        if cfg.real_obs:
+            # real-aligned 156-dim frame (`insert.py:1221-1246`)
+            idxr = jnp.asarray(tips)
+            tip13 = jnp.concatenate(
+                [tp, fk_res.quat[idxr, :], fk_res.linvel[idxr, :],
+                 fk_res.angvel[idxr, :]], axis=-1)
+            obs = jnp.zeros(one_frame_obs, dtype=jnp.float32)
+            obs = obs.at[0:23].set(unscale_from_limits(q, lower, upper))
+            obs = obs.at[23:46].set(state.actions)
+            obs = obs.at[46:53].set(jnp.concatenate([hb_pos, hb_rot]))
+            obs = obs.at[53:56].set(tgt_pos)
+            obs = obs.at[56:60].set(tgt_rot)
+            obs = obs.at[61:64].set(state.extra_target_pos)
+            obs = obs.at[64:68].set(state.extra_target_rot)
+            obs = obs.at[68:71].set(tgt_pos - state.extra_target_pos)
+            obs = obs.at[71:75].set(
+                quat_mul(tgt_rot, quat_conjugate(state.extra_target_rot)))
+            obs = obs.at[75:88].set(tip13[0])
+            obs = obs.at[88:101].set(tip13[2])
+            obs = obs.at[101:114].set(tip13[1])
+            obs = obs.at[114:127].set(tip13[3])
+            obs = obs.at[127:150].set(cfg.vel_obs_scale * qd)
+            obs = obs.at[150:153].set(s.body_linvel[target_body])
+            obs = obs.at[153:156].set(s.body_angvel[target_body])
+        else:
+            obs = jnp.zeros(one_frame_obs, dtype=jnp.float32)
+            obs = obs.at[0:16].set(unscale_from_limits(q[7:23], hand_lower, hand_upper))
+            obs = obs.at[23:46].set(state.actions)
+            obs = obs.at[46:49].set(hb_pos - state.extra_target_pos)
+            obs = obs.at[49:53].set(quat_mul(hb_rot, quat_conjugate(state.extra_target_rot)))
+            obs = obs.at[53:56].set(hb_pos - tgt_pos)
+            obs = obs.at[56:60].set(quat_mul(hb_rot, quat_conjugate(tgt_rot)))
+            obs = obs.at[61:64].set(state.extra_target_pos)
+            obs = obs.at[64:68].set(state.extra_target_rot)
+            obs = obs.at[68:71].set(tgt_pos - state.extra_target_pos)
+            obs = obs.at[71:75].set(quat_mul(tgt_rot, quat_conjugate(state.extra_target_rot)))
+
         idx = jnp.asarray(tips)
         tip_rot = fk_res.quat[idx, :]
         tip_lv = fk_res.linvel[idx, :]
@@ -235,23 +285,34 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         st = st.at[170:173].set(tgt_pos - tp[3])
         return obs, st
 
+    def _cam_rot(fk_res, tgt_rot, tgt_pos):
+        q_cam, p_cam = tf_combine(
+            fk_res.quat[mount], fk_res.pos[mount], cam_offset_quat, cam_offset_pos
+        )
+        qc_inv, pc_inv = tf_inverse(q_cam, p_cam)
+        cam_tgt_rot, _ = tf_combine(qc_inv, pc_inv, tgt_rot, tgt_pos)
+        return cam_tgt_rot
+
     def reset(key) -> InsertTaskState:
         k0, k1 = jax.random.split(key)
         s, tgt, sq = _reset_sim(k0)
+        fk0 = sim.fk(s.q, s.qd)
+        init_cam_rot = _cam_rot(fk0, s.body_quat[target_body], s.body_pos[target_body])
         state = InsertTaskState(
             sim=s,
             key=k1,
             progress=jnp.int32(0),
             reset_flag=jnp.bool_(False),
-            obs_stack=jnp.zeros((STACK, ONE_FRAME_OBS), dtype=jnp.float32),
-            state_stack=jnp.zeros((STACK, ONE_FRAME_STATES), dtype=jnp.float32),
+            obs_stack=jnp.zeros((stack, one_frame_obs), dtype=jnp.float32),
+            state_stack=jnp.zeros((stack, ONE_FRAME_STATES), dtype=jnp.float32),
             prev_targets=s.ctrl,
             extra_target_pos=tgt,
             extra_target_rot=sq,
             successes=jnp.float32(0.0),
             actions=jnp.zeros(NUM_ACTIONS, dtype=jnp.float32),
+            init_cam_rot=init_cam_rot,
         )
-        fk_res = sim.fk(s.q, s.qd)
+        fk_res = fk0
         obs, st = _observe(state, fk_res)
         return state._replace(
             obs_stack=push_frame(state.obs_stack, obs),
@@ -281,7 +342,7 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
 
         targets = jnp.clip(jnp.concatenate([arm_targets, fingers]), lower, upper)
         s = s._replace(ctrl=targets)
-        s = sim.step(s)
+        s = sim.step(s, fk0=fk_res)
         prog = state.progress + 1
         state = state._replace(sim=s, progress=prog, prev_targets=targets, actions=action)
 
@@ -337,17 +398,42 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
                 "pos_dist": pos_dist,
                 "rot_dist": rot_dist,
                 "contact_forces": s.link_contact_force[jnp.asarray(fsr)],
+                # Grasp->Insert T-value training row: camera-frame block rot
+                # of the handed-off reset state, labelled by the insertion
+                # outcome (the env's HDF5 dump, `..._insert_sim.py` save_hdf5)
+                "tvalue_valid": done,
+                "tvalue_input": state.init_cam_rot,
+                "tvalue_label": success,
+                "terminal_valid": done & (success > 0.0),
+                "terminal_pos": tgt_pos,
+                "terminal_rot": tgt_rot,
+                "terminal_type": jnp.int32(type_idx),
             },
         )
         return state, out
 
-    return Env(
-        name="BlockAssemblyInsertSim",
-        num_obs=ONE_FRAME_OBS * STACK,
-        num_states=ONE_FRAME_STATES * STACK,
+    env = Env(
+        name="BlockAssemblyInsert" if cfg.real_obs else "BlockAssemblyInsertSim",
+        num_obs=one_frame_obs * stack,
+        num_states=ONE_FRAME_STATES * stack,
         num_actions=NUM_ACTIONS,
         episode_length=cfg.episode_length,
         reset=reset,
         step=step,
         sim=sim,
     )
+
+    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0):
+        """(succ, fail) camera-frame block rotations labelled by insertion
+        outcome — trains the Grasp->Insert T-value that gates GraspSim's
+        terminal saving (`..._grasp_sim.py:1404-1407`)."""
+        from ...seqdex.handoff import rollout_collect, split_tvalue_data
+
+        steps = steps or cfg.episode_length + 2
+        data = rollout_collect(
+            env, params, num_envs, steps, seed=seed,
+            keys=("tvalue_input", "tvalue_label"), valid_key="tvalue_valid",
+        )
+        return split_tvalue_data(data)
+
+    return dataclasses.replace(env, collect_tvalue_data=collect_tvalue_data)

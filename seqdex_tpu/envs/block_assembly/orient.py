@@ -81,19 +81,32 @@ class OrientTaskState(NamedTuple):
     actions: jnp.ndarray
 
 
-def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None) -> Env:
+def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
+                    tvalue_params=None) -> Env:
+    """reservoir: `handoff.BlockPoseSampler` of Search terminal block poses
+    (reference loads the Search terminal heap pickle, `..._orient.py:419-420`).
+    tvalue_params: GraspInsertTValue params — when provided, success is gated
+    on sigmoid(t_value(cam_rot))[1] > 0.99 (`..._orient.py:1201-1203`,
+    binarised then thresholded at 0.6 in `:1408`) and the binarised
+    confidence is added to the reward (the bi-opt fine-tune shaping term,
+    `..._orient.py:1887`)."""
+    if reservoir is not None and hasattr(reservoir, "count") and \
+            reservoir.count(builders.LEGO_TYPES.index(cfg.lego_type)) == 0:
+        reservoir = None  # empty bucket -> synthetic reset fallback
     art_spec = builders.franka_allegro()
     brick = builders.lego_brick(cfg.lego_type, name="target")
     scene = compile_scene(
         art_spec, bodies=[brick], statics=[builders.table(), builders.ground()]
     )
     art = scene.art
+    _force_links = tuple(art.link_index(n) for n in builders.FSR_LINKS)
     sim = make_sim(
         scene,
         SimConfig(
             substeps=cfg.substeps,
             solver_iterations=cfg.solver_iterations,
             max_contacts=cfg.max_contacts,
+            force_links=_force_links,
         ),
     )
     D = art.ndof
@@ -152,7 +165,11 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None) -> Env:
         ).at[7:23].set(reset_fingers)
         s = sim.init_state(reset_q0)
         if reservoir is not None:
-            block_pos, block_rot = reservoir.sample(k1)
+            block_pos, block_rot = reservoir.sample(
+                k1, type_idx=builders.LEGO_TYPES.index(cfg.lego_type))
+            # the saved terminal block may still be airborne (just dug out) —
+            # settle it onto the tabletop, keeping xy + orientation
+            block_pos = block_pos.at[2].set(jnp.maximum(block_pos[2], 0.635))
         else:
             xy = jnp.asarray([0.25, 0.19], dtype=jnp.float32) + 0.02 * (
                 jax.random.uniform(k1, (2,)) * 2 - 1
@@ -206,6 +223,7 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None) -> Env:
         )
         qc_inv, pc_inv = tf_inverse(q_cam, p_cam)
         cam_tgt_rot, cam_tgt_pos = tf_combine(qc_inv, pc_inv, tgt_rot, tgt_pos)
+        cam_tgt_rot_clean = cam_tgt_rot  # T-value input is noiseless (`:1200`)
         if cfg.obs_noise:
             nz = jax.random.uniform(knoise, (7,)) * 2 - 1
             cam_tgt_pos = cam_tgt_pos + nz[0:3] * 0.003
@@ -270,7 +288,7 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None) -> Env:
         st = st.at[173:174].set(finger_dist[None])
         st = st.at[174:177].set(cam_tgt_pos)
         st = st.at[177:181].set(cam_tgt_rot)
-        return obs, st, key
+        return obs, st, key, cam_tgt_rot_clean
 
     def reset(key) -> OrientTaskState:
         k0, k1 = jax.random.split(key)
@@ -289,7 +307,7 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None) -> Env:
             actions=jnp.zeros(NUM_ACTIONS, dtype=jnp.float32),
         )
         fk_res = sim.fk(s.q, s.qd)
-        obs, st, key = _observe(state, fk_res)
+        obs, st, key, _ = _observe(state, fk_res)
         return state._replace(
             obs_stack=push_frame(state.obs_stack, obs),
             state_stack=push_frame(state.state_stack, st),
@@ -322,12 +340,12 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None) -> Env:
 
         targets = jnp.clip(jnp.concatenate([arm_targets, fingers]), lower, upper)
         s = s._replace(ctrl=targets)
-        s = sim.step(s)
+        s = sim.step(s, fk0=fk_res)
         prog = state.progress + 1
         state = state._replace(sim=s, progress=prog, prev_targets=targets, actions=action)
 
         fk2 = sim.fk(s.q, s.qd)
-        obs, st, key = _observe(state, fk2)
+        obs, st, key, cam_tgt_rot = _observe(state, fk2)
         obs_stack = push_frame(state.obs_stack, obs)
         state_stack = push_frame(state.state_stack, st)
 
@@ -355,8 +373,26 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None) -> Env:
         )
         success = jnp.where(z_align > 0.8, 1.0, 0.0)
 
+        if tvalue_params is not None:
+            # backward-pass T-value gate: binarise sigmoid confidence at 0.99
+            # (`..._orient.py:1201-1203`), gate success (`:1408`), add the
+            # binarised confidence to the reward (`:1887` shaping term)
+            from ...seqdex.tvalue import tvalue_confidence
+
+            conf = tvalue_confidence(tvalue_params, cam_tgt_rot)
+            tvalue_bin = jnp.where(conf > 0.99, 1.0, 0.0)
+            success = success * tvalue_bin
+            reward = reward + tvalue_bin
+        else:
+            tvalue_bin = jnp.float32(1.0)
+
         timed_out = prog >= cfg.episode_length - 1
         done = timed_out
+
+        # good-oriented terminal re-saving (`..._orient.py:1462-1515`): held
+        # (finger_dist > 0.3 means the hand released/hovers by the block in
+        # the reference gate `:1468`), face-up, and T-value-approved
+        save_valid = done & (face_up > 0.0) & (tvalue_bin > 0.0)
 
         state = state._replace(
             obs_stack=obs_stack,
@@ -375,11 +411,18 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None) -> Env:
                 "z_align": z_align,
                 "face_up": face_up,
                 "contact_forces": s.link_contact_force[jnp.asarray(fsr)],
+                "terminal_valid": save_valid,
+                "terminal_pos": tgt_pos,
+                "terminal_rot": tgt_rot,
+                "terminal_type": jnp.int32(builders.LEGO_TYPES.index(cfg.lego_type)),
+                "tvalue_valid": done,
+                "tvalue_input": cam_tgt_rot,
+                "tvalue_label": face_up,
             },
         )
         return state, out
 
-    return Env(
+    env = Env(
         name="BlockAssemblyOrient",
         num_obs=ONE_FRAME_OBS * STACK,
         num_states=ONE_FRAME_STATES * STACK,
@@ -388,4 +431,41 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None) -> Env:
         reset=reset,
         step=step,
         sim=sim,
+    )
+
+    def collect_terminal_states(params, num_envs=64, steps=None, seed=0,
+                                sampler=None):
+        """Face-up oriented block poses -> per-type BlockPoseSampler feeding
+        GraspSim resets (`..._orient.py:1462-1515`)."""
+        from ...seqdex.handoff import BlockPoseSampler, rollout_collect
+
+        steps = steps or cfg.episode_length + 2
+        data = rollout_collect(
+            env, params, num_envs, steps, seed=seed,
+            keys=("terminal_pos", "terminal_rot", "terminal_type"),
+        )
+        sampler = sampler or BlockPoseSampler(num_types=len(builders.LEGO_TYPES))
+        if len(data["terminal_pos"]):
+            sampler.insert(
+                jnp.asarray(data["terminal_pos"]),
+                jnp.asarray(data["terminal_rot"]),
+                jnp.ones(len(data["terminal_pos"]), dtype=bool),
+                type_idx=jnp.asarray(data["terminal_type"], dtype=jnp.int32),
+            )
+        return sampler
+
+    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0):
+        from ...seqdex.handoff import rollout_collect, split_tvalue_data
+
+        steps = steps or cfg.episode_length + 2
+        data = rollout_collect(
+            env, params, num_envs, steps, seed=seed,
+            keys=("tvalue_input", "tvalue_label"), valid_key="tvalue_valid",
+        )
+        return split_tvalue_data(data)
+
+    return dataclasses.replace(
+        env,
+        collect_terminal_states=collect_terminal_states,
+        collect_tvalue_data=collect_tvalue_data,
     )

@@ -11,15 +11,24 @@ clamped-negative finger distance - arm-contact penalty - action penalty +
 object-up reward with xy-drift penalties, emergence/heap-movement terms at
 episode end (`compute_hand_reward` `:1660-1711`).
 
+Heap: 132 bricks of the 8 mixed LEGO types (type = brick index % 8,
+`search.py:610,735-742`), settled ONCE at env-build time (host loop over the
+same simulator) into a reset pool the jitted reset samples from.
+
 Camera segmentation (pixel count + centroid) comes from the analytic
 ray-grid camera (`seqdex_tpu.sim.camera`) on the wrist camera frame instead
-of the IsaacGym renderer.
+of the IsaacGym renderer. Success = per-type emergence pixel threshold
+(`search.py:1289-1295`: [20, 20, 15, 20, 20, 30, 30, 20]).
 
-Heap: the reference drops 132 bricks into the bin and lets PhysX settle
-(`_create_envs` `:735-742`). Here heaps are settled ONCE at env-build time
-(host loop over the same simulator) into a reset pool the jitted reset
-samples from; `heap_bricks` is configurable (default 24 — scale up once the
-broadphase kernel lands; the reference count is 132).
+Chain integration:
+* temporal T-value observation buffer: 65-dim frames (obs[0:62] with
+  [26:30] = camera-frame target rot, plus centroid x/128, y/128, count/100)
+  x 10 stacked (`search.py:394-409,1156-1166`) — the RetriGraspTValue(650)
+  input.
+* per-type terminal capture at episode end gated on the emergence threshold
+  (`search.py:1304-1355`); with `tvalue_params` (backward pass) additionally
+  gated on RetriGraspTValue confidence (the paper's transition-feasibility
+  filtering; the reference evaluates the net at `search.py:1133`).
 """
 
 from __future__ import annotations
@@ -54,8 +63,14 @@ ONE_FRAME_OBS = 62
 ONE_FRAME_STATES = 188
 STACK = 3
 NUM_ACTIONS = 23
+TVALUE_FRAME = 65  # `search.py:394-409`
+TVALUE_STACK = 10
 
 _TARGET_EULER = (0.0, 3.14, 1.57)  # `search.py:1571` now_euler_angle
+
+# per-type emergence pixel-count success thresholds at 128x128
+# (`search.py:1289`)
+_SEG_SUCCESS_THRESHOLD = (20.0, 20.0, 15.0, 20.0, 20.0, 30.0, 30.0, 20.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,15 +78,15 @@ class SearchConfig:
     episode_length: int = 75
     action_moving_average: float = 1.0
     vel_obs_scale: float = 0.2
-    heap_bricks: int = 24
-    heap_pool: int = 32  # number of pre-settled heaps in the reset pool
+    heap_bricks: int = 132  # reference heap size (`search.py:735-742`)
+    heap_types: int = 8  # mixed brick types, type = index % 8 (`search.py:610`)
+    heap_pool: int = 16  # number of pre-settled heaps in the reset pool
     settle_steps: int = 60
-    lego_type: str = "1x2"
     substeps: int = 2
     solver_iterations: int = 16
     max_contacts: int = 192
-    camera_res: int = 64  # reference renders 128x128; 64 preserves the 3
-    # consumed scalars at 1/4 the rays
+    camera_res: int = 64  # reference renders 128x128; the 3 consumed scalars
+    # survive downsampling (counts rescaled to 128x128 parity)
     # penalties (`search.py:1679-1696`)
     action_penalty_scale: float = 0.005
 
@@ -88,35 +103,49 @@ class SearchTaskState(NamedTuple):
     target_init_pos: jnp.ndarray
     last_pixel_count: jnp.ndarray
     hand_pos_history: jnp.ndarray  # (8, 3)
+    tvalue_buf: jnp.ndarray  # (10, 65) temporal T-value obs (newest last)
     successes: jnp.ndarray
     actions: jnp.ndarray
 
 
-def _settle_heaps(sim, scene, cfg: SearchConfig, target_body0: int):
-    """Host-side: drop `heap_pool` heaps and settle them. Returns
-    (pool, B, 7) pos+quat array (numpy)."""
+def _heap_drop_layout(cfg: SearchConfig, rng):
+    """Initial brick drop grid (reference `search.py:735-742`): 4x4 grid per
+    layer over the bin footprint, stacked in z."""
     B = cfg.heap_bricks
-    rng = np.random.RandomState(0)
-    pos0 = np.zeros((cfg.heap_pool, B, 3), dtype=np.float32)
-    quat0 = np.zeros((cfg.heap_pool, B, 4), dtype=np.float32)
-    for h in range(cfg.heap_pool):
-        for i in range(B):
-            # grid drop layout (`search.py:735-742`)
-            gx = -0.17 + 0.17 * (i % 3) + 0.25
-            gy = -0.11 + 0.11 * ((i // 3) % 3) + 0.19
-            gz = 0.63 + 0.06 * (i // 9)
-            pos0[h, i] = (gx + rng.uniform(-0.02, 0.02),
-                          gy + rng.uniform(-0.02, 0.02), gz)
-            yaw = 0.785 + rng.uniform(-0.3, 0.3)
-            quat0[h, i] = (0, 0, np.sin(yaw / 2), np.cos(yaw / 2))
+    per_layer = 16
+    pos = np.zeros((B, 3), dtype=np.float32)
+    quat = np.zeros((B, 4), dtype=np.float32)
+    for i in range(B):
+        gx = -0.17 + 0.113 * (i % 4) + 0.25
+        gy = -0.11 + 0.075 * ((i // 4) % 4) + 0.19
+        gz = 0.63 + 0.06 * (i // per_layer)
+        pos[i] = (gx + rng.uniform(-0.02, 0.02),
+                  gy + rng.uniform(-0.02, 0.02), gz)
+        yaw = 0.785 + rng.uniform(-0.3, 0.3)
+        quat[i] = (0, 0, np.sin(yaw / 2), np.cos(yaw / 2))
+    return pos, quat
 
-    import jax
+
+def _settle_heaps(sim, cfg: SearchConfig):
+    """Host-side: drop `heap_pool` heaps and settle them. Returns
+    (pool, B, 3)/(pool, B, 4) numpy arrays."""
+    rng = np.random.RandomState(0)
+    pos0 = np.zeros((cfg.heap_pool, cfg.heap_bricks, 3), dtype=np.float32)
+    quat0 = np.zeros((cfg.heap_pool, cfg.heap_bricks, 4), dtype=np.float32)
+    for h in range(cfg.heap_pool):
+        pos0[h], quat0[h] = _heap_drop_layout(cfg, rng)
 
     def settle(body_pos, body_quat):
         q0 = jnp.asarray(
             np.concatenate([builders.DEFAULT_ARM_QPOS, np.zeros(16)]), dtype=jnp.float32
         )
         s = sim.init_state(q0)
+        # scenes may carry extra bodies beyond the heap (e.g. the chain-eval
+        # socket) — keep their init poses, settle only the heap slots
+        nb = s.body_pos.shape[0]
+        if nb > body_pos.shape[0]:
+            body_pos = jnp.concatenate([body_pos, s.body_pos[body_pos.shape[0]:]])
+            body_quat = jnp.concatenate([body_quat, s.body_quat[body_quat.shape[0]:]])
         s = s._replace(
             q=q0, ctrl=q0, body_pos=body_pos, body_quat=body_quat,
         )
@@ -125,18 +154,18 @@ def _settle_heaps(sim, scene, cfg: SearchConfig, target_body0: int):
             return sim.step(s)
 
         s = jax.lax.fori_loop(0, cfg.settle_steps, body, s)
-        return s.body_pos, s.body_quat
+        return (s.body_pos[: cfg.heap_bricks], s.body_quat[: cfg.heap_bricks])
 
     settle_j = jax.jit(jax.vmap(settle))
     pos, quat = settle_j(jnp.asarray(pos0), jnp.asarray(quat0))
     return np.asarray(pos), np.asarray(quat)
 
 
-def make_search_env(cfg: SearchConfig = SearchConfig()) -> Env:
+def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> Env:
     art_spec = builders.franka_allegro()
+    types = [builders.LEGO_TYPES[i % cfg.heap_types] for i in range(cfg.heap_bricks)]
     bricks = [
-        builders.lego_brick(cfg.lego_type, name=f"brick{i}")
-        for i in range(cfg.heap_bricks)
+        builders.lego_brick(t, name=f"brick{i}") for i, t in enumerate(types)
     ]
     scene = compile_scene(
         art_spec,
@@ -144,12 +173,15 @@ def make_search_env(cfg: SearchConfig = SearchConfig()) -> Env:
         statics=[builders.table(), builders.ground()] + builders.bin_walls(),
     )
     art = scene.art
+    _force_links = tuple(art.link_index(n) for n in builders.FSR_LINKS) + tuple(
+        art.link_index(f"panda_link{i}") for i in range(1, 8))
     sim = make_sim(
         scene,
         SimConfig(
             substeps=cfg.substeps,
             solver_iterations=cfg.solver_iterations,
             max_contacts=cfg.max_contacts,
+            force_links=_force_links,
         ),
     )
     D = art.ndof
@@ -167,17 +199,28 @@ def make_search_env(cfg: SearchConfig = SearchConfig()) -> Env:
     arm_links = tuple(art.link_index(f"panda_link{i}") for i in range(1, 8))
 
     target_rot_lock = quat_from_euler_xyz(*[jnp.float32(v) for v in _TARGET_EULER])
+    # per-brick camera bounding halves (mixed types)
     brick_half = jnp.asarray(
-        [builders._LEGO_FOOTPRINT[cfg.lego_type][0] * builders.LEGO_UNIT / 2,
-         builders._LEGO_FOOTPRINT[cfg.lego_type][1] * builders.LEGO_UNIT / 2,
-         builders.LEGO_BODY_HALF_H],
+        [
+            [builders._LEGO_FOOTPRINT[t][0] * builders.LEGO_UNIT / 2,
+             builders._LEGO_FOOTPRINT[t][1] * builders.LEGO_UNIT / 2,
+             builders.LEGO_BODY_HALF_H]
+            for t in types
+        ],
+        dtype=jnp.float32,
+    )  # (B, 3)
+    # per-brick type index + per-type success thresholds (128x128 parity)
+    brick_type = jnp.asarray(
+        [i % cfg.heap_types for i in range(B)], dtype=jnp.int32)
+    seg_threshold = jnp.asarray(
+        [_SEG_SUCCESS_THRESHOLD[i % 8] for i in range(cfg.heap_types)],
         dtype=jnp.float32,
     )
     seg_camera = make_segmentation_camera(cfg.camera_res, cfg.camera_res)
     cam_scale = (128 / cfg.camera_res) ** 2  # pixel-count parity with 128x128
 
     # settled heap pool (host-side, once)
-    heap_pos, heap_quat = _settle_heaps(sim, scene, cfg, 0)
+    heap_pos, heap_quat = _settle_heaps(sim, cfg)
     heap_pos = jnp.asarray(heap_pos)
     heap_quat = jnp.asarray(heap_quat)
 
@@ -194,8 +237,15 @@ def make_search_env(cfg: SearchConfig = SearchConfig()) -> Env:
     def _seg_stats(fk_res, s, target):
         cam_pos = fk_res.pos[camera_link]
         cam_quat = fk_res.quat[camera_link]
-        half = jnp.tile(brick_half, (B, 1))
-        return seg_camera(cam_pos, cam_quat, target, s.body_pos, s.body_quat, half)
+        return seg_camera(cam_pos, cam_quat, target, s.body_pos, s.body_quat,
+                          brick_half)
+
+    def _cam_target_rot(fk_res, s, target):
+        """Camera-frame target rotation (`search.py:1183-1190`)."""
+        qc_inv, pc_inv = tf_inverse(
+            fk_res.quat[camera_link], fk_res.pos[camera_link])
+        rot, _ = tf_combine(qc_inv, pc_inv, s.body_quat[target], s.body_pos[target])
+        return rot
 
     def _reset_sim(key):
         k1, k2 = jax.random.split(key)
@@ -229,6 +279,7 @@ def make_search_env(cfg: SearchConfig = SearchConfig()) -> Env:
         tp = _tip_pos(fk_res)
         count, cx, cy = _seg_stats(fk_res, s, state.target_brick)
         count = count * cam_scale
+        cam_rot = _cam_target_rot(fk_res, s, state.target_brick)
 
         st = jnp.zeros(ONE_FRAME_STATES, dtype=jnp.float32)
         st = st.at[0:23].set(unscale_from_limits(q, lower, upper))
@@ -252,7 +303,16 @@ def make_search_env(cfg: SearchConfig = SearchConfig()) -> Env:
             jnp.where(s.link_contact_force[jnp.asarray(fsr)] >= 0.1, 1.0, 0.0)
         )
         st = st.at[141:144].set(tgt_pos - state.target_init_pos)
-        return obs, st, count
+
+        # temporal T-value frame (`search.py:1156-1166`): obs[0:62] with
+        # [26:30] = camera-frame target rot, then centroid/count scalars
+        tv_frame = jnp.zeros(TVALUE_FRAME, dtype=jnp.float32)
+        tv_frame = tv_frame.at[0:62].set(obs)
+        tv_frame = tv_frame.at[26:30].set(cam_rot)
+        tv_frame = tv_frame.at[62].set(cx / 128.0)
+        tv_frame = tv_frame.at[63].set(cy / 128.0)
+        tv_frame = tv_frame.at[64].set(count / 100.0)
+        return obs, st, count, tv_frame
 
     def reset(key) -> SearchTaskState:
         k0, k1 = jax.random.split(key)
@@ -269,15 +329,18 @@ def make_search_env(cfg: SearchConfig = SearchConfig()) -> Env:
             target_init_pos=s.body_pos[target],
             last_pixel_count=jnp.float32(0.0),
             hand_pos_history=jnp.zeros((8, 3), dtype=jnp.float32),
+            tvalue_buf=jnp.zeros((TVALUE_STACK, TVALUE_FRAME), dtype=jnp.float32),
             successes=jnp.float32(0.0),
             actions=jnp.zeros(NUM_ACTIONS, dtype=jnp.float32),
         )
         fk_res = sim.fk(s.q, s.qd)
-        obs, st, count = _observe(state, fk_res)
+        obs, st, count, tv_frame = _observe(state, fk_res)
         return state._replace(
             obs_stack=push_frame(state.obs_stack, obs),
             state_stack=push_frame(state.state_stack, st),
             last_pixel_count=count,
+            tvalue_buf=jnp.concatenate(
+                [state.tvalue_buf[1:], tv_frame[None]], axis=0),
         )
 
     def step(state: SearchTaskState, action: jnp.ndarray):
@@ -304,7 +367,7 @@ def make_search_env(cfg: SearchConfig = SearchConfig()) -> Env:
 
         targets = jnp.clip(jnp.concatenate([arm_targets, fingers]), lower, upper)
         s = s._replace(ctrl=targets)
-        s = sim.step(s)
+        s = sim.step(s, fk0=fk_res)
         prog = state.progress + 1
 
         fk2 = sim.fk(s.q, s.qd)
@@ -315,9 +378,11 @@ def make_search_env(cfg: SearchConfig = SearchConfig()) -> Env:
             sim=s, progress=prog, prev_targets=targets, actions=action,
             hand_pos_history=hand_hist,
         )
-        obs, st, count = _observe(state, fk2)
+        obs, st, count, tv_frame = _observe(state, fk2)
         obs_stack = push_frame(state.obs_stack, obs)
         state_stack = push_frame(state.state_stack, st)
+        tvalue_buf = jnp.concatenate(
+            [state.tvalue_buf[1:], tv_frame[None]], axis=0)
 
         # reward (`compute_hand_reward` `search.py:1660-1711`)
         tp = _tip_pos(fk2)
@@ -344,13 +409,25 @@ def make_search_env(cfg: SearchConfig = SearchConfig()) -> Env:
 
         timed_out = prog >= cfg.episode_length - 1
         done = timed_out
-        success = jnp.where(lift[2] > 0.05, 1.0, 0.0)
+        # success = per-type emergence pixel threshold (`search.py:1289-1295`)
+        tgt_type = brick_type[state.target_brick]
+        success = jnp.where(count > seg_threshold[tgt_type], 1.0, 0.0)
+
+        # per-type terminal capture (`search.py:1304-1355`): backward pass
+        # additionally filters by RetriGraspTValue confidence
+        save_valid = done & (success > 0.0)
+        if tvalue_params is not None:
+            from ...seqdex.tvalue import tvalue_confidence
+
+            conf = tvalue_confidence(tvalue_params, tvalue_buf.reshape(-1))
+            save_valid = save_valid & (conf > 0.6)
 
         state = state._replace(
             obs_stack=obs_stack,
             state_stack=state_stack,
             reset_flag=done,
             last_pixel_count=count,
+            tvalue_buf=tvalue_buf,
             successes=success,
         )
         out = StepOutput(
@@ -363,11 +440,19 @@ def make_search_env(cfg: SearchConfig = SearchConfig()) -> Env:
                 "emergence_reward": emergence_reward,
                 "pixel_count": count,
                 "lift_z": lift[2],
+                "terminal_valid": save_valid,
+                "terminal_pos": tgt_pos,
+                "terminal_rot": s.body_quat[state.target_brick],
+                "terminal_q": s.q,
+                "terminal_type": tgt_type,
+                "tvalue_valid": done,
+                "tvalue_input": tvalue_buf.reshape(-1),
+                "tvalue_label": success,
             },
         )
         return state, out
 
-    return Env(
+    env = Env(
         name="BlockAssemblySearch",
         num_obs=ONE_FRAME_OBS * STACK,
         num_states=ONE_FRAME_STATES * STACK,
@@ -376,4 +461,43 @@ def make_search_env(cfg: SearchConfig = SearchConfig()) -> Env:
         reset=reset,
         step=step,
         sim=sim,
+    )
+
+    def collect_terminal_states(params, num_envs=64, steps=None, seed=0,
+                                sampler=None):
+        """Per-type dug-out block poses -> BlockPoseSampler feeding Orient
+        resets (`search.py:1304-1355`, read at `orient.py:419-420`)."""
+        from ...seqdex.handoff import BlockPoseSampler, rollout_collect
+
+        steps = steps or cfg.episode_length + 2
+        data = rollout_collect(
+            env, params, num_envs, steps, seed=seed,
+            keys=("terminal_pos", "terminal_rot", "terminal_type"),
+        )
+        sampler = sampler or BlockPoseSampler(num_types=len(builders.LEGO_TYPES))
+        if len(data["terminal_pos"]):
+            sampler.insert(
+                jnp.asarray(data["terminal_pos"]),
+                jnp.asarray(data["terminal_rot"]),
+                jnp.ones(len(data["terminal_pos"]), dtype=bool),
+                type_idx=jnp.asarray(data["terminal_type"], dtype=jnp.int32),
+            )
+        return sampler
+
+    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0):
+        """(succ, fail) 650-dim temporal buffers labelled by emergence — the
+        RetriGraspTValue offline dataset (`search.py:1315-1345`)."""
+        from ...seqdex.handoff import rollout_collect, split_tvalue_data
+
+        steps = steps or cfg.episode_length + 2
+        data = rollout_collect(
+            env, params, num_envs, steps, seed=seed,
+            keys=("tvalue_input", "tvalue_label"), valid_key="tvalue_valid",
+        )
+        return split_tvalue_data(data)
+
+    return dataclasses.replace(
+        env,
+        collect_terminal_states=collect_terminal_states,
+        collect_tvalue_data=collect_tvalue_data,
     )

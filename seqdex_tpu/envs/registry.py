@@ -57,20 +57,24 @@ def _populate():
 
     from .tool_positioning.tool_envs import (
         make_tool_chain_env,
+        make_tool_chain_pure_rl_env,
         make_tool_grasp_env,
         make_tool_orient_env,
     )
 
     _REGISTRY.setdefault("ToolPositioningGrasp", lambda **kw: make_tool_grasp_env(**kw))
     _REGISTRY.setdefault("ToolPositioningOrient", lambda **kw: make_tool_orient_env(**kw))
+    # ours-full: perturbations + ContactSLAMer belief-state obs
+    # (`..._chain.py:1441-1454`)
     _REGISTRY.setdefault("ToolPositioningChain", lambda **kw: make_tool_chain_env(**kw))
-    # baselines (`..._chain_tstar.py`, `..._chain_pure_rl.py`): both run the
-    # same chained physical task; T* adds ONLINE T-value probes (harness in
-    # `seqdex_tpu.seqdex.tstar`), PureRL trains one monolithic policy over
-    # the full horizon (no phase handoff — the trainer simply uses a single
-    # agent on this env)
-    _REGISTRY.setdefault("ToolPositioningChainTSTAR", lambda **kw: make_tool_chain_env(**kw))
-    _REGISTRY.setdefault("ToolPositioningChainPureRL", lambda **kw: make_tool_chain_env(**kw))
+    # T* baseline: privileged chain env + ONLINE T-value probe training —
+    # drive with `seqdex_tpu.seqdex.tstar.train_tool_chain_tstar`
+    # (`..._chain_tstar.py:451-469,1666-1735`)
+    _REGISTRY.setdefault(
+        "ToolPositioningChainTSTAR", lambda **kw: make_tool_chain_pure_rl_env(**kw))
+    # PureRL baseline: monolithic privileged policy, no belief state
+    _REGISTRY.setdefault(
+        "ToolPositioningChainPureRL", lambda **kw: make_tool_chain_pure_rl_env(**kw))
 
     import dataclasses as _dc
 
@@ -86,7 +90,8 @@ def _populate():
     )
     _REGISTRY.setdefault(
         "BlockAssemblyInsert",
-        lambda **kw: make_insert_sim_env(InsertSimConfig(**kw)),
+        # real-aligned 156x3 obs protocol (`allegro_hand_block_assembly_insert.py`)
+        lambda **kw: make_insert_sim_env(InsertSimConfig(real_obs=True, **kw)),
     )
 
     from .block_assembly.chain_eval import ChainEvalConfig, make_chain_eval_env

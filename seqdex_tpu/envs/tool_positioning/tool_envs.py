@@ -90,6 +90,11 @@ class ToolConfig:
     sine_scale: float = 0.2
     sine_freq: float = 0.5
     grasp_phase_end: int = 60  # chain: grasp window before orient phase
+    # ContactSLAMer belief state in the env loop (`..._chain.py:1441-1454`):
+    # when enabled, the OBS tool pose slots carry the tactile-MLP pose
+    # estimate instead of the privileged sim pose; the true pose stays in the
+    # critic states and in info for the online slamer update
+    use_contact_slamer: bool = False
 
 
 class ToolTaskState(NamedTuple):
@@ -109,19 +114,21 @@ class ToolTaskState(NamedTuple):
     actions: jnp.ndarray
 
 
-def make_tool_env(cfg: ToolConfig = ToolConfig()) -> Env:
+def make_tool_env(cfg: ToolConfig = ToolConfig(), slamer_params=None) -> Env:
     art_spec = builders.franka_allegro()
     tool = hammer()
     scene = compile_scene(
         art_spec, bodies=[tool], statics=[builders.table(), builders.ground()]
     )
     art = scene.art
+    _force_links = tuple(art.link_index(n) for n in builders.FSR_LINKS)
     sim = make_sim(
         scene,
         SimConfig(
             substeps=cfg.substeps,
             solver_iterations=cfg.solver_iterations,
             max_contacts=cfg.max_contacts,
+            force_links=_force_links,
         ),
     )
     D = art.ndof
@@ -186,12 +193,30 @@ def make_tool_env(cfg: ToolConfig = ToolConfig()) -> Env:
         tgt_rot = s.body_quat[tool_body]
         tp, tip13 = _tip_state(fk_res)
 
+        # ContactSLAMer belief state (`..._chain.py:1441-1454`): tactile
+        # contacts + hand q -> estimated tool pose replaces the privileged
+        # pose in the POLICY observation
+        contacts12 = jnp.where(
+            s.link_contact_force[jnp.asarray(fsr)] >= 0.1, 1.0, 0.0)
+        hand_q16 = unscale_from_limits(q[7:23], hand_lower, hand_upper)
+        slamer_in = jnp.concatenate([contacts12, hand_q16])
+        if cfg.use_contact_slamer and slamer_params is not None:
+            from ...rl import networks as _nets
+
+            pred = _nets.mlp_apply(slamer_params, slamer_in)
+            pred_pos = pred[0:3]
+            pq = pred[3:7]
+            pred_rot = pq / jnp.maximum(jnp.linalg.norm(pq), 1e-8)
+            obs_tool_pos, obs_tool_rot = pred_pos, pred_rot
+        else:
+            obs_tool_pos, obs_tool_rot = tgt_pos, tgt_rot
+
         obs = jnp.zeros(ONE_FRAME_OBS, dtype=jnp.float32)
         obs = obs.at[0:23].set(unscale_from_limits(q, lower, upper))
         obs = obs.at[23:46].set(state.actions)
         obs = obs.at[46:53].set(jnp.concatenate([hb_pos, hb_rot]))
-        obs = obs.at[53:56].set(tgt_pos)
-        obs = obs.at[56:60].set(tgt_rot)
+        obs = obs.at[53:56].set(obs_tool_pos)
+        obs = obs.at[56:60].set(obs_tool_rot)
         obs = obs.at[60:61].set(
             (state.progress.astype(jnp.float32) / cfg.episode_length)[None]
         )
@@ -227,7 +252,7 @@ def make_tool_env(cfg: ToolConfig = ToolConfig()) -> Env:
             jnp.where(s.link_contact_force[jnp.asarray(fsr)] >= 0.1, 1.0, 0.0)
         )
         st = st.at[120:123].set(tgt_pos - state.target_init_pos)
-        return obs, st
+        return obs, st, slamer_in
 
     def reset(key) -> ToolTaskState:
         k0, k1, k2 = jax.random.split(key, 3)
@@ -249,7 +274,7 @@ def make_tool_env(cfg: ToolConfig = ToolConfig()) -> Env:
             actions=jnp.zeros(NUM_ACTIONS, dtype=jnp.float32),
         )
         fk_res = sim.fk(s.q, s.qd)
-        obs, st = _observe(state, fk_res)
+        obs, st, _ = _observe(state, fk_res)
         return state._replace(
             obs_stack=push_frame(state.obs_stack, obs),
             state_stack=push_frame(state.state_stack, st),
@@ -296,12 +321,12 @@ def make_tool_env(cfg: ToolConfig = ToolConfig()) -> Env:
             s = s._replace(body_linvel=s.body_linvel.at[tool_body].add(dv))
             state = state._replace(key=key)
 
-        s = sim.step(s)
+        s = sim.step(s, fk0=fk_res)
         prog = prog + 1
         state = state._replace(sim=s, progress=prog, prev_targets=targets, actions=action)
 
         fk2 = sim.fk(s.q, s.qd)
-        obs, st = _observe(state, fk2)
+        obs, st, slamer_in = _observe(state, fk2)
         obs_stack = push_frame(state.obs_stack, obs)
         state_stack = push_frame(state.state_stack, st)
 
@@ -362,6 +387,10 @@ def make_tool_env(cfg: ToolConfig = ToolConfig()) -> Env:
                 "finger_dist": finger_dist,
                 "z_align": z_align,
                 "contact_forces": s.link_contact_force[jnp.asarray(fsr)],
+                # online ContactSLAMer training pair (`update_contact_slamer`,
+                # `..._chain.py:1447-1454`): tactile input + true pose label
+                "slamer_input": slamer_in,
+                "slamer_target": jnp.concatenate([tgt_pos, tgt_rot]),
             },
         )
         return state, out
@@ -383,13 +412,33 @@ def make_tool_env(cfg: ToolConfig = ToolConfig()) -> Env:
     )
 
 
-def make_tool_grasp_env(**kw):
+def make_tool_grasp_env(reservoir=None, tvalue_params=None, **kw):
     return make_tool_env(ToolConfig(task="grasp", episode_length=150, **kw))
 
 
-def make_tool_orient_env(**kw):
+def make_tool_orient_env(reservoir=None, tvalue_params=None, **kw):
     return make_tool_env(ToolConfig(task="orient", episode_length=125, **kw))
 
 
-def make_tool_chain_env(**kw):
-    return make_tool_env(ToolConfig(task="chain", episode_length=120, perturb=True, **kw))
+def make_tool_chain_env(slamer_params=None, **kw):
+    """Ours-full chained env: perturbations + ContactSLAMer belief state in
+    the policy obs (`..._chain.py:1441-1454`). Pass `slamer_params` (a
+    `utils.controllers.ContactSlamer().params` pytree) to activate the
+    belief-state observation protocol."""
+    if slamer_params is None:
+        from ...utils.controllers import ContactSlamer
+
+        slamer_params = ContactSlamer().params
+    return make_tool_env(
+        ToolConfig(task="chain", episode_length=120, perturb=True,
+                   use_contact_slamer=True, **kw),
+        slamer_params=slamer_params,
+    )
+
+
+def make_tool_chain_pure_rl_env(**kw):
+    """PureRL baseline: one monolithic policy over the full chained horizon,
+    privileged obs, no belief state and no phase handoff
+    (`allegro_hand_tool_positioning_chain_pure_rl.py`)."""
+    return make_tool_env(
+        ToolConfig(task="chain", episode_length=120, perturb=True, **kw))

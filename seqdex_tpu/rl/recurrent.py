@@ -123,15 +123,30 @@ def reset_carry(carry: dict, reset_mask, init_carry: dict) -> dict:
 
 
 def unroll(params: RecurrentACParams, carry, obs_seq, states_seq,
-           concat_input: bool = True):
+           done_seq=None, concat_input: bool = True):
     """Replay a (T, N, D) sequence from a stored initial carry — the PPO
-    update path (rl_games `seq_length: 4` minibatch replay)."""
+    update path (rl_games `seq_length: 4` minibatch replay).
+
+    done_seq: optional (T, N) episode-boundary flags, aligned so that
+    done_seq[t] is the done flag of frame t-1 (prev-dones): the carry is
+    reset BEFORE processing frame t when its predecessor ended an episode.
+    rl_games' RNN path zeroes the hidden state at dones during replay;
+    without the mask a done inside a stored sequence would leak hidden state
+    across episodes and make replayed mu/value diverge from rollout-time
+    behaviour, biasing the PPO update."""
+    init = initial_carry(params, carry["actor"].h.shape[:-1])
 
     def step(c, xs):
-        o, s = xs
+        if done_seq is None:
+            o, s = xs
+        else:
+            o, s, d = xs
+            c = reset_carry(c, d, init)
         c, mu = actor_mu(params, c, o, concat_input)
         c, v = critic_value(params, c, s, concat_input)
         return c, (mu, v)
 
-    carry, (mus, vs) = jax.lax.scan(step, carry, (obs_seq, states_seq))
+    xs = (obs_seq, states_seq) if done_seq is None else (
+        obs_seq, states_seq, done_seq)
+    carry, (mus, vs) = jax.lax.scan(step, carry, xs)
     return carry, mus, vs

@@ -6,13 +6,18 @@ TPU-native re-implementation of `scripts/bi_optimization.py:110-124`:
         FORWARD:  train Search -> Orient -> GraspSim -> InsertSim
                   (each env's resets consume its predecessor's terminal-state
                   reservoir)
-        BACKWARD: re-train InsertSim with T-value shaping, fit the
-                  Grasp->Insert T-value on its success/failure terminal data,
-                  then GraspSim + T-value, then Orient + T-value
+        BACKWARD: re-train InsertSim, fit the Grasp->Insert T-value on its
+                  labelled terminal data, re-train GraspSim with that T-value
+                  gating its terminal saving, fit the next T-value from
+                  GraspSim's data, re-train Orient with the T-value success
+                  gate, and fit the Search->Grasp RetriGraspTValue from
+                  Search's temporal-buffer data.
 
-The reference shuttles state between stages via pickle/HDF5 files on disk;
-here the reservoirs are in-memory pytrees handed directly to the next stage
-(and `.npz`-saveable for cross-job handoff).
+The reference shuttles state between stages via pickle/HDF5 files on disk
+(`intermediate_state/*.pkl`, `search.py:1304-1355`); here the reservoirs are
+in-memory pytree ring buffers handed directly to the next stage's env factory
+(and `.npz`-saveable for cross-job handoff), and the T-value datasets come
+from the envs' `collect_tvalue_data` rollout hooks instead of HDF5 dumps.
 """
 
 from __future__ import annotations
@@ -32,10 +37,16 @@ from . import tvalue as tvlib
 
 @dataclasses.dataclass
 class StageSpec:
-    """One sub-policy stage in the chain."""
+    """One sub-policy stage in the chain.
+
+    env_factory(reservoir=None, tvalue_params=None) -> Env. `tvalue_in_dim`
+    / `tvalue_hidden` describe the T-value net THIS stage's env consumes
+    (Orient/GraspSim: GraspInsertTValue(4); Search: RetriGraspTValue(650) —
+    `policy_sequencing/terminal_value_function.py:12-46`).
+    """
 
     name: str
-    env_factory: Callable  # (reservoir=None, tvalue_params=None) -> Env
+    env_factory: Callable
     num_envs: int
     train_epochs: int
     tvalue_in_dim: int = tvlib.GRASP_INSERT_IN
@@ -48,26 +59,34 @@ class BiOptConfig:
     tvalue_rollouts: int = 10000  # `:120` transition_value_trainer rollout arg
     logdir: str = "runs/bi_opt"
     seed: int = 42
+    collect_envs: int = 64  # rollout width for terminal/T-value harvesting
+    collect_steps: Optional[int] = None  # default: one episode
 
 
 class BiOptimizer:
     """Drives the forward/backward chain over a list of StageSpecs ordered
-    Search -> Orient -> GraspSim -> InsertSim."""
+    Search -> Orient -> GraspSim -> InsertSim (or the ToolPositioning pair)."""
 
     def __init__(self, stages, cfg: BiOptConfig = BiOptConfig()):
         self.stages = stages
         self.cfg = cfg
         self.policies: Dict[str, object] = {}
-        self.reservoirs: Dict[str, object] = {}
-        self.tvalues: Dict[str, object] = {}
+        self.reservoirs: Dict[str, object] = {}  # stage name -> sampler
+        self.tvalues: Dict[str, object] = {}  # stage name -> params its env uses
+        self.tvalue_accuracy: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    def _make_env(self, stage: StageSpec, use_t_value: bool):
+        idx = self.stages.index(stage)
+        upstream = None
+        if idx > 0:
+            upstream = self.reservoirs.get(self.stages[idx - 1].name)
+        tv = self.tvalues.get(stage.name) if use_t_value else None
+        return stage.env_factory(reservoir=upstream, tvalue_params=tv), tv
 
     def _train_stage(self, stage: StageSpec, iteration: int, use_t_value: bool,
                      init_params=None):
-        upstream = None
-        if self.stages.index(stage) > 0:
-            upstream = self.reservoirs.get(self.stages[self.stages.index(stage) - 1].name)
-        tv = self.tvalues.get(stage.name) if use_t_value else None
-        env = stage.env_factory(reservoir=upstream, tvalue_params=tv)
+        env, tv = self._make_env(stage, use_t_value)
         ppo_cfg = PPOConfig(num_envs=stage.num_envs)
         init, train_epoch, act = make_ppo(env, ppo_cfg)
         ts = init(jax.random.PRNGKey(self.cfg.seed + iteration))
@@ -82,36 +101,81 @@ class BiOptimizer:
             if epoch % 50 == 0:
                 ckpt.maybe_save(ts, epoch, float(metrics["reward_mean"]), stage.name)
         self.policies[stage.name] = ts.params
-        # harvest terminal states for the next stage (env exposes a
-        # collect_terminal_states hook when it supports reservoir output)
-        collect = getattr(env, "collect_terminal_states", None)
-        if collect is not None:
-            self.reservoirs[stage.name] = collect(ts)
-        return ts
+        # harvest terminal states for the successor stage's resets
+        # (`search.py:1304-1355` / `grasp_sim.py:1399-1458` analogs)
+        if env.collect_terminal_states is not None:
+            self.reservoirs[stage.name] = env.collect_terminal_states(
+                ts.params,
+                num_envs=min(stage.num_envs, self.cfg.collect_envs),
+                steps=self.cfg.collect_steps,
+                seed=self.cfg.seed + iteration,
+                sampler=self.reservoirs.get(stage.name),
+            )
+        return ts, env
 
-    def _train_tvalue(self, stage: StageSpec, succ: np.ndarray, fail: np.ndarray):
+    def _fit_tvalue(self, consumer: StageSpec, succ: np.ndarray, fail: np.ndarray):
+        """Train the T-value net that `consumer`'s env gates on."""
+        if len(succ) == 0 or len(fail) == 0:
+            return None
         ts, acc = tvlib.train_offline(
-            succ, fail, stage.tvalue_in_dim, stage.tvalue_hidden,
+            np.asarray(succ), np.asarray(fail),
+            consumer.tvalue_in_dim, consumer.tvalue_hidden,
             rollouts=self.cfg.tvalue_rollouts,
-            ckpt_dir=os.path.join(self.cfg.logdir, f"tvalue_{stage.name}"),
+            ckpt_dir=os.path.join(self.cfg.logdir, f"tvalue_{consumer.name}"),
         )
-        self.tvalues[stage.name] = ts.params
+        self.tvalues[consumer.name] = ts.params
+        self.tvalue_accuracy[consumer.name] = acc
         return acc
 
-    def run(self, tvalue_data: Optional[Callable] = None):
-        """tvalue_data(stage_name, policies) -> (succ, fail) arrays — the
-        rollout-labelled terminal data (produced by evaluation rollouts)."""
+    # ------------------------------------------------------------------
+    def run(self):
+        stages = self.stages
         for it in range(self.cfg.iterations):
-            # forward pass (`bi_optimization.py:113-116`)
-            for stage in self.stages:
+            # forward pass (`bi_optimization.py:113-116`): each stage trains
+            # with resets drawn from its predecessor's reservoir
+            for stage in stages:
                 self._train_stage(stage, it, use_t_value=False,
                                   init_params=self.policies.get(stage.name))
-            # backward pass (`:119-124`): last stage first, with T-values
-            for stage in reversed(self.stages[1:]):
-                if tvalue_data is not None:
-                    succ, fail = tvalue_data(stage.name, self.policies)
-                    if len(succ) and len(fail):
-                        self._train_tvalue(stage, succ, fail)
-                self._train_stage(stage, it, use_t_value=True,
-                                  init_params=self.policies.get(stage.name))
+
+            # backward pass (`:119-124`): last stage first; after each stage,
+            # fit the T-value its PREDECESSOR gates on from this stage's
+            # labelled outcome data
+            for i in range(len(stages) - 1, 0, -1):
+                stage = stages[i]
+                ts, env = self._train_stage(
+                    stage, it, use_t_value=True,
+                    init_params=self.policies.get(stage.name),
+                )
+                if env.collect_tvalue_data is not None:
+                    succ, fail = env.collect_tvalue_data(
+                        ts.params,
+                        num_envs=min(stage.num_envs, self.cfg.collect_envs),
+                        steps=self.cfg.collect_steps,
+                        seed=self.cfg.seed + it,
+                    )
+                    self._fit_tvalue(stages[i - 1], succ, fail)
+            # the first stage's own T-value (Search's RetriGraspTValue) is
+            # fit from its own temporal-buffer data (`search.py:1315-1345`)
+            first = stages[0]
+            env0, _ = self._make_env(first, use_t_value=False)
+            if (env0.collect_tvalue_data is not None
+                    and first.name in self.policies):
+                succ, fail = env0.collect_tvalue_data(
+                    self.policies[first.name],
+                    num_envs=min(first.num_envs, self.cfg.collect_envs),
+                    steps=self.cfg.collect_steps,
+                    seed=self.cfg.seed + it,
+                )
+                self._fit_tvalue(first, succ, fail)
         return self.policies
+
+    # ------------------------------------------------------------------
+    def save_reservoirs(self, outdir: str):
+        os.makedirs(outdir, exist_ok=True)
+        for name, sampler in self.reservoirs.items():
+            if hasattr(sampler, "save"):
+                sampler.save(os.path.join(outdir, f"reservoir_{name}.npz"))
+    def save_tvalues(self, outdir: str):
+        os.makedirs(outdir, exist_ok=True)
+        for name, params in self.tvalues.items():
+            tvlib.save_tvalue(os.path.join(outdir, f"tvalue_{name}.npz"), params)

@@ -36,22 +36,95 @@ def evaluate_stage(env, params, num_envs: int, episodes: int, seed: int = 0):
     return successes / max(count, 1.0), count, state
 
 
+def evaluate_gui_chain(env, policies: Dict[str, object], num_envs: int = 16,
+                       episodes: int = 2, seed: int = 0, log=print):
+    """Single-scene chained assembly eval on the `BlockAssemblyGUI` analog
+    (`envs/block_assembly/chain_eval.py`): the four sub-policies drive their
+    phases (selected per env by the env's retry state machine), success =
+    the brick inserted on the socket (`gui.py:2755-2775` outer loop).
+
+    policies: {"dig","spin","grasp","insert"} -> ActorCriticParams with the
+    per-phase obs widths (65*3, 62*3, 132*3, 75).
+    """
+    order = ("dig", "spin", "grasp", "insert")
+
+    def policy_action(info):
+        mus = [
+            networks.actor_mu(policies[n], info[f"obs_{n}"]) for n in order
+        ]
+        phase = info["phase"]  # (N,)
+        stacked = jnp.stack(mus)  # (4, N, A)
+        return jnp.take_along_axis(
+            stacked, phase[None, :, None], axis=0)[0]
+
+    step = jax.jit(lambda s, a: jax.vmap(env.step)(s, a))
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_envs)
+    state = jax.jit(jax.vmap(env.reset))(keys)
+    # bootstrap with zero action; phase info arrives with the first step
+    action = jnp.zeros((num_envs, env.num_actions))
+    inserted, count = 0.0, 0.0
+    for _ in range(env.episode_length * episodes):
+        state, out = step(state, action)
+        action = policy_action(out.info)
+        done = np.asarray(out.done, dtype=np.float32)
+        inserted += float((np.asarray(out.info["inserted"]) * done).sum())
+        count += float(done.sum())
+    rate = inserted / max(count, 1.0)
+    log(json.dumps({"gui_chain_success_rate": rate, "episodes": count}))
+    return rate
+
+
 def evaluate_chain(
-    stage_envs: Dict[str, object],
+    stage_factories: Dict[str, object],
     stage_params: Dict[str, object],
     num_envs: int = 256,
     episodes: int = 4,
     seed: int = 0,
     log=print,
+    collect_envs: int = 64,
 ):
-    """Run the chain Search -> Orient -> GraspSim -> InsertSim; the chain
-    success metric is the final Insert stage's rate (the reference counts
-    success at Insert, `scripts/evaluation.py:110-119`)."""
+    """Run the chain Search -> Orient -> GraspSim -> InsertSim with REAL
+    state flow: each stage's terminal-state reservoir (harvested from its own
+    evaluation rollouts) seeds the next stage's reset distribution — the
+    in-memory analog of the reference's pickle handoff
+    (`scripts/evaluation.py:106-130`, terminal pickles `search.py:1304-1355`).
+
+    stage_factories: ordered {name: factory(reservoir=, tvalue_params=)}.
+
+    Reported metrics: per-stage conditional success (resets drawn from the
+    predecessor's terminals), `insert_success_rate` (the reference's counted
+    metric, `scripts/evaluation.py:110-119`), and `chain_success_rate` — the
+    end-to-end estimate = product of the conditional stage rates (a stage
+    that leaves its reservoir empty zeroes everything downstream).
+    """
     results = {}
-    for name, env in stage_envs.items():
-        rate, count, _ = evaluate_stage(env, stage_params[name], num_envs, episodes, seed)
-        results[name] = {"success_rate": rate, "episodes": count}
+    names = list(stage_factories)
+    reservoir = None
+    chain_rate = 1.0
+    for i, name in enumerate(names):
+        env = stage_factories[name](reservoir=reservoir, tvalue_params=None)
+        rate, count, _ = evaluate_stage(
+            env, stage_params[name], num_envs, episodes, seed)
+        handed_off = reservoir is not None
+        results[name] = {
+            "success_rate": rate,
+            "episodes": count,
+            "resets_from_upstream": bool(handed_off),
+        }
+        chain_rate *= rate
+        reservoir = None
+        if i < len(names) - 1 and env.collect_terminal_states is not None:
+            reservoir = env.collect_terminal_states(
+                stage_params[name], num_envs=min(num_envs, collect_envs),
+                seed=seed)
+            fill = (
+                int(np.asarray(reservoir.res.count).sum())
+                if hasattr(reservoir, "res") else 0
+            )
+            results[name]["reservoir_fill"] = fill
+            if fill == 0:
+                reservoir = None
         log(json.dumps({"stage": name, **results[name]}))
-    names = list(stage_envs)
-    results["chain_success_rate"] = results[names[-1]]["success_rate"]
+    results["insert_success_rate"] = results[names[-1]]["success_rate"]
+    results["chain_success_rate"] = chain_rate
     return results

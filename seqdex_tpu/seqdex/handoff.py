@@ -38,6 +38,11 @@ class BlockPoseSampler:
                  num_types: int = 1):
         self.res = res or reslib.create(self.TEMPLATE, capacity, num_types)
 
+    def count(self, type_idx=0) -> int:
+        """Host-side bucket fill level (env factories fall back to synthetic
+        resets when the consumed bucket is empty)."""
+        return int(self.res.count[type_idx])
+
     def sample(self, key, type_idx=0):
         s = reslib.sample(self.res, key, jnp.int32(type_idx))
         return s["pos"], s["rot"]
@@ -71,6 +76,9 @@ class GraspTerminalSampler:
         }
         self.res = res or reslib.create(self.template, capacity, num_types)
 
+    def count(self, type_idx=0) -> int:
+        return int(self.res.count[type_idx])
+
     def sample(self, key, type_idx=0):
         s = reslib.sample(self.res, key, jnp.int32(type_idx))
         return s["q"], s["pos"], s["rot"]
@@ -83,6 +91,49 @@ class GraspTerminalSampler:
 
     def save(self, path):
         reslib.save(path, self.res)
+
+
+def rollout_collect(env, params, num_envs: int, steps: int, seed: int = 0,
+                    keys=(), valid_key: str = "terminal_valid"):
+    """Generic host-side chain-data harvest.
+
+    Rolls the deterministic policy (`actor_mu`) and, at every step, gathers
+    `info[k] for k in keys` rows where `info[valid_key]` is set. This is the
+    TPU-side analog of the reference's reset_idx host loops that append
+    terminal states / HDF5 rows per done env (`search.py:1304-1355`,
+    `orient.py:1462-1515`). Returns dict of np arrays (rows = valid events).
+    """
+    step = jax.jit(
+        lambda s, obs: jax.vmap(env.step)(s, networks.actor_mu(params, obs))
+    )
+    rng = jax.random.split(jax.random.PRNGKey(seed), num_envs)
+    state = jax.jit(jax.vmap(env.reset))(rng)
+    obs = np.asarray(state.obs_stack.reshape(num_envs, -1))
+    acc = {k: [] for k in keys}
+    for _ in range(steps):
+        state, out = step(state, obs)
+        obs = out.obs
+        valid = np.asarray(out.info[valid_key]).astype(bool)
+        if valid.any():
+            for k in keys:
+                acc[k].append(np.asarray(out.info[k])[valid])
+    return {
+        k: (np.concatenate(v) if v else np.zeros((0,)))
+        for k, v in acc.items()
+    }
+
+
+def split_tvalue_data(data, input_key: str = "tvalue_input",
+                      label_key: str = "tvalue_label"):
+    """(succ, fail) arrays from a rollout_collect dict — the balanced-class
+    dataset layout `TValue_Trainer` consumes (`transition_value_trainer.py:132`)."""
+    x = data[input_key]
+    y = data[label_key]
+    if x.ndim == 0 or len(x) == 0:
+        return np.zeros((0, 1)), np.zeros((0, 1))
+    succ = x[y >= 0.5]
+    fail = x[y < 0.5]
+    return succ, fail
 
 
 def collect_terminals(

@@ -11,6 +11,14 @@ Functional formulation: ONE scan rollout where the action is a per-env
 masks weight the PPO losses — no branching, no per-agent buffers, both
 updates happen every epoch over the shared batch (an agent with zero mask
 contributes zero gradient).
+
+Per-agent observation routing: the reference feeds each agent its OWN obs
+stream via `infos["before_obs"/"after_obs"]` (`policy_seq_runner.py:240-264`)
+so the two stages can have different obs spaces (e.g. Search 62 vs GraspSim
+132). Set `PolicySeqConfig.obs_keys = ("before_obs", "after_obs")` and have
+the env emit those keys in `info`; each agent then acts/updates on its own
+stream (the default `None` keeps the shared-stream behaviour for same-space
+stages).
 """
 
 from __future__ import annotations
@@ -39,6 +47,9 @@ class PolicySeqConfig:
     e_clip: float = 0.1
     mini_epochs: int = 5
     grad_norm: float = 1.0
+    # info keys carrying per-agent obs streams (`policy_seq_runner.py:240-264`);
+    # None = both agents share the env's default obs
+    obs_keys: tuple = None
 
 
 class SeqTrainState(NamedTuple):
@@ -47,7 +58,8 @@ class SeqTrainState(NamedTuple):
     before_opt: optax.OptState
     after_opt: optax.OptState
     env_state: object
-    last_obs: jnp.ndarray
+    last_obs: jnp.ndarray  # before-agent stream
+    last_obs_after: jnp.ndarray  # after-agent stream (== last_obs when shared)
     last_states: jnp.ndarray
     last_progress: jnp.ndarray  # (N,)
     key: jnp.ndarray
@@ -64,13 +76,26 @@ def make_policy_seq(env: Env, cfg: PolicySeqConfig):
     def init(key, before: ActorCriticParams, after: ActorCriticParams) -> SeqTrainState:
         ke, kr = jax.random.split(key)
         env_state = batched_reset(jax.random.split(ke, cfg.num_envs))
+        obs0 = env_state.obs_stack.reshape(cfg.num_envs, -1)
+        if cfg.obs_keys is not None:
+            # per-agent streams appear in step info; bootstrap with zeros of
+            # each agent's input width (stacks are zero-filled at reset too)
+            def in_dim(params):
+                return params.actor["layers"][0]["w"].shape[0]
+
+            obs_b = jnp.zeros((cfg.num_envs, in_dim(before)))
+            obs_a = jnp.zeros((cfg.num_envs, in_dim(after)))
+        else:
+            obs_b = obs0
+            obs_a = obs0
         return SeqTrainState(
             before=before,
             after=after,
             before_opt=optimizer.init(before),
             after_opt=optimizer.init(after),
             env_state=env_state,
-            last_obs=env_state.obs_stack.reshape(cfg.num_envs, -1),
+            last_obs=obs_b,
+            last_obs_after=obs_a,
             last_states=env_state.state_stack.reshape(cfg.num_envs, -1),
             last_progress=jnp.zeros(cfg.num_envs, dtype=jnp.int32),
             key=kr,
@@ -78,30 +103,38 @@ def make_policy_seq(env: Env, cfg: PolicySeqConfig):
 
     def rollout(ts: SeqTrainState):
         def body(carry, _):
-            env_state, obs, states, progress, key = carry
+            env_state, obs_b, obs_a, states, progress, key = carry
             key, kb, ka = jax.random.split(key, 3)
             is_before = progress < cfg.switch_step  # (N,)
-            ab, mub, lpb = networks.sample_action(ts.before, obs, kb)
-            aa, mua, lpa = networks.sample_action(ts.after, obs, ka)
+            ab, mub, lpb = networks.sample_action(ts.before, obs_b, kb)
+            aa, mua, lpa = networks.sample_action(ts.after, obs_a, ka)
             action = jnp.where(is_before[:, None], ab, aa)
             logp = jnp.where(is_before, lpb, lpa)
-            mu = jnp.where(is_before[:, None], mub, mua)
             vb = networks.critic_value(ts.before, states)
             va = networks.critic_value(ts.after, states)
             value = jnp.where(is_before, vb, va)
             env_state, out = batched_step(env_state, action)
+            if cfg.obs_keys is not None:
+                next_b = out.info[cfg.obs_keys[0]]
+                next_a = out.info[cfg.obs_keys[1]]
+            else:
+                next_b = out.obs
+                next_a = out.obs
             rec = dict(
-                obs=obs, states=states, actions=action, logp=logp, mu=mu,
+                obs=obs_b, obs_after=obs_a, states=states, actions=action,
+                logp=logp, mu_before=mub, mu_after=mua,
                 rewards=out.reward, dones=out.done.astype(jnp.float32),
                 values=value, is_before=is_before.astype(jnp.float32),
             )
-            return (env_state, out.obs, out.states, env_state.progress, key), rec
+            return (env_state, next_b, next_a, out.states,
+                    env_state.progress, key), rec
 
-        init_carry = (ts.env_state, ts.last_obs, ts.last_states, ts.last_progress, ts.key)
-        (env_state, obs, states, progress, key), recs = jax.lax.scan(
+        init_carry = (ts.env_state, ts.last_obs, ts.last_obs_after,
+                      ts.last_states, ts.last_progress, ts.key)
+        (env_state, obs_b, obs_a, states, progress, key), recs = jax.lax.scan(
             body, init_carry, None, length=cfg.horizon
         )
-        return env_state, obs, states, progress, key, recs
+        return env_state, obs_b, obs_a, states, progress, key, recs
 
     def gae(recs, last_value):
         def body(adv_next, xs):
@@ -138,7 +171,7 @@ def make_policy_seq(env: Env, cfg: PolicySeqConfig):
         return optax.apply_updates(params, updates), opt_state, loss
 
     def train_epoch(ts: SeqTrainState):
-        env_state, obs, states, progress, key, recs = rollout(ts)
+        env_state, obs_b, obs_a, states, progress, key, recs = rollout(ts)
         last_is_before = progress < cfg.switch_step
         lv = jnp.where(
             last_is_before,
@@ -155,12 +188,18 @@ def make_policy_seq(env: Env, cfg: PolicySeqConfig):
         flat["returns"] = returns.reshape(-1)
         mask_before = flat.pop("is_before")
         mask_after = 1.0 - mask_before
+        obs_after_flat = flat.pop("obs_after")
+        batch_before = dict(flat)
+        batch_after = dict(flat)
+        batch_after["obs"] = obs_after_flat
 
         before, before_opt = ts.before, ts.before_opt
         after, after_opt = ts.after, ts.after_opt
         for _ in range(cfg.mini_epochs):
-            before, before_opt, lb = agent_update(before, before_opt, flat, mask_before)
-            after, after_opt, la = agent_update(after, after_opt, flat, mask_after)
+            before, before_opt, lb = agent_update(
+                before, before_opt, batch_before, mask_before)
+            after, after_opt, la = agent_update(
+                after, after_opt, batch_after, mask_after)
 
         metrics = {
             "reward_mean": recs["rewards"].mean(),
@@ -173,7 +212,8 @@ def make_policy_seq(env: Env, cfg: PolicySeqConfig):
             ts._replace(
                 before=before, after=after,
                 before_opt=before_opt, after_opt=after_opt,
-                env_state=env_state, last_obs=obs, last_states=states,
+                env_state=env_state, last_obs=obs_b, last_obs_after=obs_a,
+                last_states=states,
                 last_progress=progress, key=knext,
             ),
             metrics,

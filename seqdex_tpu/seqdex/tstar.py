@@ -72,3 +72,66 @@ def make_tstar(env, cfg: TStarConfig, tvalue_in_dim: int, tvalue_hidden,
         )
 
     return init, probe_and_update
+
+
+def train_tool_chain_tstar(
+    num_envs: int = 32,
+    rounds: int = 10,
+    seed: int = 0,
+    env=None,
+    policy_params=None,
+    cfg: TStarConfig = TStarConfig(probe_steps=20, trigger_step=0),
+    log=print,
+):
+    """ToolPositioningChainTSTAR training harness — the caller the registry
+    name points at (`..._chain_tstar.py:451-469`): roll the chain env to the
+    trigger step with the (frozen) policy, snapshot the 23-dim transition
+    obs (hand q unscaled, `:453-468` input protocol), probe the successor
+    policy forward, and BCE-update the online T-value each round.
+
+    Returns (tvalue_train_state, history). Small defaults so the harness is
+    testable; production runs pass the full env/probe lengths.
+    """
+    import numpy as np
+
+    from ..envs.registry import make
+
+    env = env or make("ToolPositioningChainTSTAR")
+    if policy_params is None:
+        policy_params = networks.init_actor_critic(
+            jax.random.PRNGKey(seed), env.num_obs, env.num_states,
+            env.num_actions,
+        )
+
+    def snapshot_fn(task_state):
+        # 23-dim transition obs: unscaled dof positions (`:453-468`)
+        return task_state.sim.q[:23]
+
+    def success_fn(task_state):
+        return task_state.successes
+
+    init, probe_and_update = make_tstar(
+        env, cfg, tvalue_in_dim=23, tvalue_hidden=(256, 128, 64),
+        snapshot_fn=snapshot_fn, success_fn=success_fn,
+    )
+    ts = init(jax.random.PRNGKey(seed + 1))
+    probe_and_update = jax.jit(probe_and_update)
+    batched_reset = jax.jit(jax.vmap(env.reset))
+    batched_step = jax.jit(
+        lambda s, obs: jax.vmap(env.step)(
+            s, networks.actor_mu(policy_params, obs))
+    )
+
+    history = []
+    for r in range(rounds):
+        keys = jax.random.split(jax.random.PRNGKey(seed + 2 + r), num_envs)
+        state = batched_reset(keys)
+        obs = state.obs_stack.reshape(num_envs, -1)
+        for _ in range(cfg.trigger_step):
+            state, out = batched_step(state, obs)
+            obs = out.obs
+        ts, metrics = probe_and_update(ts, state, policy_params)
+        history.append({k: float(v) for k, v in metrics.items()})
+        log(f"tstar round {r}: loss={history[-1]['loss']:.4f} "
+            f"succ={history[-1]['success_frac']:.3f}")
+    return ts, history

@@ -85,6 +85,12 @@ class SimConfig:
     effort: tuple = ()
     # use the Pallas QP-iteration kernel (auto: on real TPU backends only)
     use_pallas: object = None
+    # links whose net contact-force magnitude the env consumes (FSR pads +
+    # arm links). Empty = accumulate for ALL links; a short tuple turns the
+    # (L, K) one-hot accumulation into a (len, K) one + scatter — the envs
+    # read ~19 of ~40 links, and the unused (B, K) body accumulation is
+    # skipped entirely (no consumer in any env)
+    force_links: tuple = ()
     # exact per-substep Cholesky for Minv instead of warm-started
     # Newton-Schulz (slow; for accuracy cross-checks)
     minv_exact: bool = False
@@ -202,8 +208,11 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             minv=minv0,
         )
 
-    def substep(state: SimState) -> SimState:
-        fk_res = fk(state.q, state.qd)
+    def substep(state: SimState, fk_res=None) -> SimState:
+        # callers that already ran FK at this exact (q, qd) — the env's
+        # pre-physics IK pass — hand it in to skip the recompute
+        if fk_res is None:
+            fk_res = fk(state.q, state.qd)
         M = mass_matrix(fk_res)
         bias = bias_forces(fk_res, state.qd)
         # implicit PD (see module docstring); DR scales on drive gains
@@ -319,20 +328,24 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
         body_quat_new = quat_integrate(state.body_quat, w_new, h)
 
         # diagnostics: contact force magnitudes (impulse / dt), accumulated
-        # per link/body with one-hot matmuls (no scatters in the hot loop)
+        # per link with one-hot matmuls (no scatters in the hot loop). When
+        # `force_links` is set only those rows are accumulated (the envs
+        # read FSR + arm links only); the per-body accumulation has no
+        # consumer and is skipped
         fmag = sol.fmag / h  # (K,)
-        ohL_pt = (jnp.arange(L, dtype=jnp.int32)[:, None] == contacts.link_pt[None, :])
-        ohL_col = (jnp.arange(L, dtype=jnp.int32)[:, None] == contacts.link_col[None, :])
-        link_force = (ohL_pt.astype(fmag.dtype) @ fmag
-                      + ohL_col.astype(fmag.dtype) @ fmag)
-        if B > 0:
-            ohB_pt = ((jnp.arange(B, dtype=jnp.int32)[:, None] == body_of_pt[None, :])
-                      ).astype(fmag.dtype)
-            ohB_col = ((jnp.arange(B, dtype=jnp.int32)[:, None] == body_of_col[None, :])
-                       ).astype(fmag.dtype)
-            body_force = ohB_pt @ fmag + ohB_col @ fmag
+        if config.force_links:
+            rows = jnp.asarray(config.force_links, dtype=jnp.int32)  # (R,)
+            ohR_pt = (rows[:, None] == contacts.link_pt[None, :])
+            ohR_col = (rows[:, None] == contacts.link_col[None, :])
+            row_force = (ohR_pt.astype(fmag.dtype) @ fmag
+                         + ohR_col.astype(fmag.dtype) @ fmag)  # (R,)
+            link_force = jnp.zeros(L, dtype=fmag.dtype).at[rows].set(row_force)
         else:
-            body_force = jnp.zeros(B, dtype=fmag.dtype)
+            ohL_pt = (jnp.arange(L, dtype=jnp.int32)[:, None] == contacts.link_pt[None, :])
+            ohL_col = (jnp.arange(L, dtype=jnp.int32)[:, None] == contacts.link_col[None, :])
+            link_force = (ohL_pt.astype(fmag.dtype) @ fmag
+                          + ohL_col.astype(fmag.dtype) @ fmag)
+        body_force = jnp.zeros(B, dtype=fmag.dtype)
 
         return state._replace(
             q=q_clamped.astype(state.q.dtype),
@@ -346,9 +359,9 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             minv=Minv,
         )
 
-    def step(state: SimState) -> SimState:
-        for _ in range(config.substeps):
-            state = substep(state)
+    def step(state: SimState, fk0=None) -> SimState:
+        for i in range(config.substeps):
+            state = substep(state, fk0 if i == 0 else None)
         return state
 
     return Simulator(

@@ -33,8 +33,24 @@ def test_to_body_specs_and_urdf():
     assert len(specs) == 2  # unknown part skipped
     spec, pos, quat = specs[0]
     assert spec.geoms and abs(np.linalg.norm(quat) - 1) < 1e-5
-    urdf = ldraw.to_urdf(parts)
-    assert urdf.count("<link") == 2 and "box size=" in urdf
+    docs = ldraw.to_urdf(parts)
+    # one standalone single-root URDF per part (reference converter emits
+    # one file per part; a multi-link joint-less <robot> is invalid URDF)
+    assert len(docs) == 2
+    for doc in docs:
+        assert doc.count("<link") == 1 and "box size=" in doc
+        assert doc.count("<robot") == 1
+    # each doc must re-parse through our own URDF loader
+    import tempfile
+
+    from seqdex_tpu.core import urdf as urdflib
+
+    for doc in docs:
+        with tempfile.NamedTemporaryFile("w", suffix=".urdf", delete=False) as f:
+            f.write(doc)
+            path = f.name
+        parsed = urdflib.load_urdf(path, fix_base=False)
+        assert parsed is not None
 
 
 def test_project_points_bounds_and_validity():
