@@ -87,7 +87,17 @@ def make_ppo(env: Env, cfg: PPOConfig, axis_name: Optional[str] = None):
     """Returns (init_fn, train_epoch_fn, act_fn)."""
 
     batched_reset = jax.vmap(env.reset)
-    batched_step = jax.vmap(env.step)
+
+    def _slim_step(state, action):
+        # the trainer consumes only info["successes"]; dropping the chain
+        # handoff info (terminal snapshots, T-value rows) BEFORE tracing
+        # keeps the dead outputs out of the jaxpr — they otherwise inflate
+        # the GSPMD partition/compile time of the training program several-
+        # fold (the collectors that need them call env.step directly)
+        state, out = env.step(state, action)
+        return state, out._replace(info={"successes": out.info["successes"]})
+
+    batched_step = jax.vmap(_slim_step)
 
     actor_optimizer = optax.chain(
         optax.clip_by_global_norm(cfg.grad_norm),

@@ -59,7 +59,14 @@ def make_recurrent_ppo(env: Env, cfg: PPOConfig, units: int = 512,
     """Returns (init, train_epoch, act) with LSTM actor/critic."""
 
     batched_reset = jax.vmap(env.reset)
-    batched_step = jax.vmap(env.step)
+
+    def _slim_step(state, action):
+        # keep only the consumed info key out of the traced program (see
+        # the identical wrapper in ppo.py — compile-time discipline)
+        state, out = env.step(state, action)
+        return state, out._replace(info={"successes": out.info["successes"]})
+
+    batched_step = jax.vmap(_slim_step)
 
     optimizer = optax.chain(
         optax.clip_by_global_norm(cfg.grad_norm),
