@@ -62,11 +62,22 @@ def build(args):
     env_kwargs = cfglib.env_kwargs_from_cfg(yaml_cfg)
     if args.randomize:
         env_kwargs["randomize"] = True
-    try:
-        env = registry.make(args.task, **env_kwargs)
-    except TypeError:
-        # task config does not expose some yaml key (e.g. aliases) — retry bare
-        env = registry.make(args.task)
+    # Retry dropping one unknown kwarg at a time, loudly — never silently
+    # drop the whole kwarg set (an explicit --randomize must either apply or
+    # raise; reference DR is schema-driven for every task,
+    # `tasks/hand_base/base_task.py:229-423`).
+    while True:
+        try:
+            env = registry.make(args.task, **env_kwargs)
+            break
+        except TypeError as e:
+            msg = str(e)
+            bad = next((k for k in list(env_kwargs) if f"'{k}'" in msg), None)
+            if bad is None or (bad == "randomize" and args.randomize):
+                raise
+            print(f"WARNING: task {args.task} does not accept config key "
+                  f"'{bad}' — dropping it (was {env_kwargs[bad]!r})")
+            del env_kwargs[bad]
 
     ppo_kwargs = cfglib.ppo_kwargs_from_cfg(yaml_cfg)
     # explicit CLI flags override the YAML layer
@@ -145,20 +156,46 @@ def play(args):
     from ..rl import networks
 
     env, cfg, init, train_epoch, act = build(args)
+    num_envs = cfg.num_envs  # YAML + CLI resolved (args.num_envs may be None)
     ts = init(jax.random.PRNGKey(args.seed))
     params = ts.params
     if args.checkpoint:
         params = load_params(args.checkpoint, params)
 
-    batched_step = jax.jit(
-        lambda s, obs: jax.vmap(env.step)(s, networks.actor_mu(params, obs))
-    )
-    keys = jax.random.split(jax.random.PRNGKey(args.seed), args.num_envs)
+    import jax.numpy as jnp
+
+    recurrent = getattr(args, "recurrent", False)
+    if recurrent:
+        from ..rl import recurrent as reclib
+
+        carry = reclib.initial_carry(params, (num_envs,))
+
+        def _step(s, carry, obs):
+            carry, mu = act(params, carry, obs)
+            s, out = jax.vmap(env.step)(s, mu)
+            # reset the policy carry at episode boundaries
+            carry = jax.tree_util.tree_map(
+                lambda c: jnp.where(
+                    out.done.reshape((num_envs,) + (1,) * (c.ndim - 1)) > 0,
+                    0.0, c),
+                carry)
+            return s, carry, out
+
+        batched_step = jax.jit(_step)
+    else:
+        batched_step = jax.jit(
+            lambda s, obs: jax.vmap(env.step)(s, networks.actor_mu(params, obs))
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(args.seed), num_envs)
     state = jax.jit(jax.vmap(env.reset))(keys)
-    obs = state.obs_stack.reshape(args.num_envs, -1)
+    obs = state.obs_stack.reshape(num_envs, -1)
     successes, episodes = 0.0, 0.0
     for _ in range(env.episode_length * args.episodes):
-        state, out = batched_step(state, obs)
+        if recurrent:
+            state, carry, out = batched_step(state, carry, obs)
+        else:
+            state, out = batched_step(state, obs)
         obs = out.obs
         done = np.asarray(out.done, dtype=np.float32)
         successes += float((np.asarray(out.info["successes"]) * done).sum())

@@ -106,5 +106,12 @@ def _populate():
     # standalone in-hand multi-object axis-rotation env (`utils/morb.py:50`)
     _REGISTRY.setdefault("AllegroArmMOAR", lambda **kw: make_moar_env(**kw))
 
+    from .mini import MiniConfig, make_mini_env
+
+    # compile-small real-sim fixture (no reference counterpart): CI smokes,
+    # sharding tests, and the driver's multi-chip dry run
+    _REGISTRY.setdefault(
+        "MiniReach", lambda cfg=None, **kw: make_mini_env(cfg or MiniConfig(**kw)))
+
 
 _populate()

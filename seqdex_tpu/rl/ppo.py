@@ -316,8 +316,10 @@ def make_ppo(env: Env, cfg: PPOConfig, axis_name: Optional[str] = None):
         last_value = _value(ts.params, ts.value_norm, last_states)
         advs, returns = compute_gae(recs, last_value)
         ts = ts._replace(env_state=env_state, last_obs=last_obs, last_states=last_states)
-        ts, kl = update(ts, recs, advs, returns, key)
-        key, knext = jax.random.split(key)
+        # split BEFORE update so the next epoch's rollout key is independent
+        # of update()'s internal minibatch-permutation stream
+        key_update, knext = jax.random.split(key)
+        ts, kl = update(ts, recs, advs, returns, key_update)
         metrics = {
             "reward_mean": _pmean(recs.rewards.mean()),
             "reward_sum_per_env": _pmean(recs.rewards.sum(0).mean()),

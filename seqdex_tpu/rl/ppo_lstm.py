@@ -251,8 +251,10 @@ def make_recurrent_ppo(env: Env, cfg: PPOConfig, units: int = 512,
         ts = ts._replace(env_state=env_state, last_obs=last_obs,
                          last_states=last_states, carry=carry,
                          prev_done=prev_done)
-        ts, kl = update(ts, carry0, recs, advs, returns, key)
-        key, knext = jax.random.split(key)
+        # split BEFORE update so the next epoch's rollout key is independent
+        # of update()'s internal minibatch-permutation stream
+        key_update, knext = jax.random.split(key)
+        ts, kl = update(ts, carry0, recs, advs, returns, key_update)
         metrics = {
             "reward_mean": _pmean(recs.rewards.mean()),
             "done_rate": _pmean(recs.dones.mean()),

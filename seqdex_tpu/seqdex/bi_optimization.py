@@ -117,6 +117,13 @@ class BiOptimizer:
         """Train the T-value net that `consumer`'s env gates on."""
         if len(succ) == 0 or len(fail) == 0:
             return None
+        if np.asarray(succ).shape[-1] != consumer.tvalue_in_dim:
+            # data rows from the successor stage don't describe this
+            # consumer's T-value input (e.g. Orient emits 4-dim camera-frame
+            # quats but Search gates on the 650-dim temporal buffer); the
+            # dedicated first-stage fit at the end of run() is the only valid
+            # source for such stages
+            return None
         ts, acc = tvlib.train_offline(
             np.asarray(succ), np.asarray(fail),
             consumer.tvalue_in_dim, consumer.tvalue_hidden,
@@ -146,6 +153,10 @@ class BiOptimizer:
                     stage, it, use_t_value=True,
                     init_params=self.policies.get(stage.name),
                 )
+                # NOTE: when the predecessor gates on a different input space
+                # (Search's 650-dim temporal buffer vs Orient's 4-dim quat
+                # rows) the dim guard in _fit_tvalue skips this fit; Search's
+                # RetriGraspTValue is fitted from its own data after the loop
                 if env.collect_tvalue_data is not None:
                     succ, fail = env.collect_tvalue_data(
                         ts.params,
