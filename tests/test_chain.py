@@ -279,6 +279,7 @@ def test_tstar_probe_and_update_learns_labels():
     assert float(conf.mean()) > 0.5
 
 
+@pytest.mark.slow  # full-scene compile
 def test_tvalue_gate_changes_orient_env():
     """With a saturated-high T-value, Orient's reward gains the +1 shaping
     term and success stays gated; with saturated-low, success is forced to 0
@@ -375,6 +376,7 @@ def test_policy_seq_routes_per_agent_obs_streams():
     assert float(metrics["before_frac"]) > 0.0
 
 
+@pytest.mark.slow  # full-scene compile
 def test_search_mixed_heap_and_temporal_tvalue_buffer():
     """Search builds a mixed-type heap, maintains the 65x10 temporal T-value
     buffer (`search.py:394-409,1156-1166`), and emits per-type terminal
@@ -401,6 +403,7 @@ def test_search_mixed_heap_and_temporal_tvalue_buffer():
     assert np.isfinite(np.asarray(out2.obs)).all()
 
 
+@pytest.mark.slow  # full-scene compile
 def test_orient_resets_from_reservoir():
     from seqdex_tpu.envs.block_assembly.orient import OrientConfig, make_orient_env
 
@@ -422,6 +425,7 @@ def test_orient_resets_from_reservoir():
         np.asarray(state.target_init_pos), [0.31, 0.17, 0.70], atol=1e-5)
 
 
+@pytest.mark.slow  # full-scene compile
 def test_real_insert_obs_protocol():
     """`BlockAssemblyInsert` (real-aligned) uses its own 156x3 obs protocol
     (`allegro_hand_block_assembly_insert.py:172-187,1221-1246`), not the
@@ -444,6 +448,7 @@ def test_real_insert_obs_protocol():
     assert np.isfinite(frame).all()
 
 
+@pytest.mark.slow  # full-scene compile
 def test_insert_resets_from_grasp_reservoir():
     from seqdex_tpu.envs.block_assembly.insert_sim import (
         InsertSimConfig,

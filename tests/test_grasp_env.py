@@ -3,6 +3,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full franka_allegro scene
+
 from seqdex_tpu.envs.block_assembly.grasp_sim import (
     GraspSimConfig,
     make_grasp_sim_env,

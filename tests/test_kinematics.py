@@ -146,6 +146,7 @@ def test_coriolis_energy_consistency():
     assert abs(e1 - e0) < 0.02 * max(abs(e0), 1.0), (e0, e1)
 
 
+@pytest.mark.slow  # full-scene compile
 def test_franka_allegro_compiles():
     spec = franka_allegro()
     art = compile_articulation(spec)
@@ -164,6 +165,7 @@ def test_franka_allegro_compiles():
     assert np.isfinite(np.asarray(res.pos)).all()
 
 
+@pytest.mark.slow  # full-scene compile
 def test_site_jacobian_matches_fd():
     spec = franka_allegro()
     art = compile_articulation(spec)
@@ -181,6 +183,7 @@ def test_site_jacobian_matches_fd():
         np.testing.assert_allclose(J[:3, d], fd, atol=2e-3)
 
 
+@pytest.mark.slow  # full-scene compile
 def test_fk_vmap_batch():
     art = compile_articulation(franka_allegro())
     fk, *_ = make_kinematics(art)

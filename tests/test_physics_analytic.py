@@ -173,10 +173,13 @@ def test_free_body_projectile_matches_kinematics():
     """A contact-free body under the full simulator integrator follows the
     analytic parabola (velocity-level check of the free-body path)."""
     from seqdex_tpu.core import builders
+    from seqdex_tpu.envs.mini import mini_arm
     from seqdex_tpu.sim.scene import compile_scene
     from seqdex_tpu.sim.simulator import SimConfig, make_sim
 
-    art_spec = builders.franka_allegro()
+    # the articulation is scenery here (free-body path under test) — use the
+    # compile-small fixture arm instead of the 40-link flagship scene
+    art_spec = mini_arm()
     brick = builders.lego_brick("1x2", name="b")
     scene = compile_scene(art_spec, bodies=[brick], statics=[])
     sim = make_sim(scene, SimConfig(substeps=2, solver_iterations=2,

@@ -118,6 +118,7 @@ def robot_sim():
     return scene, sim
 
 
+@pytest.mark.slow  # full-scene compile
 def test_robot_pd_tracks_default_pose(robot_sim):
     scene, sim = robot_sim
     art = scene.art
@@ -137,6 +138,7 @@ def test_robot_pd_tracks_default_pose(robot_sim):
     assert np.isfinite(np.asarray(s.body_pos)).all()
 
 
+@pytest.mark.slow  # full-scene compile
 def test_robot_reaches_commanded_offset(robot_sim):
     scene, sim = robot_sim
     art = scene.art
@@ -152,6 +154,7 @@ def test_robot_reaches_commanded_offset(robot_sim):
     assert abs(float(s.q[0]) - float(target[0])) < 0.05
 
 
+@pytest.mark.slow  # full-scene compile
 def test_fingers_close_and_report_contact_on_brick(robot_sim):
     """Close the fingers onto a brick placed in the palm; FSR-style link
     contact forces must fire (reference thresholds contacts at 0.1 N,
