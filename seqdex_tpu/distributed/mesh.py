@@ -56,7 +56,7 @@ def shard_train_state(ts, mesh: Mesh, num_envs: int):
         return jax.device_put(x, rep)
 
     env_state = jax.tree_util.tree_map(place_env_tree, ts.env_state)
-    return ts._replace(
+    ts = ts._replace(
         env_state=env_state,
         last_obs=jax.device_put(ts.last_obs, dp),
         last_states=jax.device_put(ts.last_states, dp),
@@ -65,3 +65,7 @@ def shard_train_state(ts, mesh: Mesh, num_envs: int):
         critic_opt=jax.device_put(ts.critic_opt, rep),
         value_norm=jax.device_put(ts.value_norm, rep),
     )
+    # shared runtime env context (reservoirs, T-values): replicated
+    if getattr(ts, "env_ctx", None) is not None:
+        ts = ts._replace(env_ctx=jax.device_put(ts.env_ctx, rep))
+    return ts

@@ -59,6 +59,18 @@ class Env:
     #     (the env's hdf5 success/failure dumps, `..._orient.py:1470-1500`).
     collect_terminal_states: Callable = None
     collect_tvalue_data: Callable = None
+    # Runtime shared context (reservoir contents, T-value params, gate
+    # switches): when `init_ctx` is set, trainers use `reset_ctx(key, ctx)` /
+    # `step_ctx(state, action, ctx)` and thread the ctx pytree as a RUNTIME
+    # argument (vmap in_axes=None) instead of a trace constant — refreshing
+    # a reservoir or swapping T-value params between bi-opt iterations then
+    # re-runs the SAME compiled program (round-2 VERDICT: closing over
+    # reservoir arrays re-jitted the whole train_epoch per iteration).
+    # `reset`/`step` remain bound to the factory-time default ctx for
+    # ctx-unaware callers.
+    init_ctx: Callable = None  # () -> ctx pytree
+    reset_ctx: Callable = None  # (key, ctx) -> TaskState
+    step_ctx: Callable = None  # (TaskState, action, ctx) -> (TaskState, StepOutput)
 
 
 def select_tree(pred, a, b):

@@ -58,7 +58,12 @@ class GraspSimConfig:
     # reset noise (cfg resetPositionNoise / resetDofPosRandomInterval ~ 0)
     reset_pos_noise: float = 0.01
     reset_yaw_noise: float = 3.1415926
-    lego_type: str = "1x2"
+    # "all" = the reference multi-type scene: every env samples one of the 8
+    # lego types per reset (`..._grasp_sim.py:706-745,959-965` builds all 8
+    # per env with `segmentation_id = i % 8`), realised here as runtime
+    # brick geometry (envs/block_assembly/multitype.py). A single type name
+    # compiles a fixed-geometry variant.
+    lego_type: str = "all"
     # scripted phase boundaries (`..._grasp_sim.py:1592-1606`)
     lift_step: int = 75
     retract1_step: int = 100
@@ -95,6 +100,7 @@ class GraspTaskState(NamedTuple):
     successes: jnp.ndarray
     meta_rew: jnp.ndarray
     actions: jnp.ndarray  # last actions (23,)
+    lego_type: jnp.ndarray  # i32 scalar — this env's target type (ref i % 8)
 
 
 # insertion-prepare arm poses (`..._grasp_sim.py` arm_hand_insertion_prepare_dof_pos_list)
@@ -116,16 +122,19 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
     `..._grasp_sim.py:412-415,1448+`). tvalue_params: GraspInsertTValue
     params — gates terminal-state saving at confidence > 0.8
     (`..._grasp_sim.py:1404-1407`) during the bi-opt backward pass."""
-    if reservoir is not None and hasattr(reservoir, "count") and \
-            reservoir.count(builders.LEGO_TYPES.index(cfg.lego_type)) == 0:
-        reservoir = None  # empty bucket -> synthetic reset fallback
+    multi = cfg.lego_type == "all"
+    from . import multitype
+
     art_spec = builders.franka_allegro()
-    brick = builders.lego_brick(cfg.lego_type, name="target")
+    brick = builders.lego_brick(
+        multitype.UNION_BRICK_KIND if multi else cfg.lego_type, name="target")
     scene = compile_scene(
         art_spec,
         bodies=[brick],
         statics=[builders.table(), builders.ground()],
     )
+    type_tables = multitype.build_type_tables(scene) if multi else None
+    num_types = len(builders.LEGO_TYPES)
     art = scene.art
     _force_links = tuple(art.link_index(n) for n in builders.FSR_LINKS)
     sim = make_sim(
@@ -174,16 +183,52 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         off = quat_apply(q, jnp.tile(jnp.asarray([0.0, 0.0, 0.04], dtype=jnp.float32), (4, 1)))
         return p + off
 
-    type_idx = builders.LEGO_TYPES.index(cfg.lego_type)
+    type_idx_static = (0 if multi
+                       else builders.LEGO_TYPES.index(cfg.lego_type))
 
     if cfg.randomize:
         from ...envs.randomization import RandomizationParams, sample_factors
 
         rand_params = RandomizationParams()
 
-    def _reset_sim(key) -> tuple:
-        k1, k2, k3 = jax.random.split(key, 3)
+    from ...seqdex import reservoir as reslib
+    from ...seqdex import tvalue as tvlib
+
+    def init_ctx():
+        """Runtime shared context: reservoir contents + T-value params.
+
+        Contents are runtime state (threaded by the trainers as an argument)
+        — refreshing them between bi-opt iterations re-runs the same
+        compiled program. `tvalue_on` switches the backward pass's
+        terminal-save gating (`..._grasp_sim.py:1404-1407`) at runtime.
+        """
+        res = (reservoir.res if reservoir is not None
+               else reslib.create(
+                   {"pos": jnp.zeros(3),
+                    "rot": jnp.asarray([0.0, 0.0, 0.0, 1.0])},
+                   capacity=4096, num_types=num_types))
+        tv = (tvalue_params if tvalue_params is not None
+              else tvlib.init_tvalue(
+                  jax.random.PRNGKey(0), tvlib.GRASP_INSERT_IN,
+                  tvlib.GRASP_INSERT_HIDDEN))
+        return {
+            "reservoir": res,
+            "tvalue": tv,
+            "tvalue_on": jnp.float32(
+                0.0 if tvalue_params is None else 1.0),
+        }
+
+    def _reset_sim(key, ctx) -> tuple:
+        k1, k2, k3, kt = jax.random.split(key, 4)
         s = sim.init_state(default_q)
+        if multi:
+            # reference: all 8 types per env, target = i % 8
+            # (`..._grasp_sim.py:959-965`); here the type is sampled per
+            # reset and the brick slot's geometry gathered from the table
+            t = jax.random.randint(kt, (), 0, num_types)
+            s = s._replace(geom=multitype.geom_for_type(type_tables, t))
+        else:
+            t = jnp.int32(type_idx_static)
         if cfg.randomize:
             f = sample_factors(rand_params, k3, jnp.float32(1e6), 1, 1, D)
             s = s._replace(
@@ -191,18 +236,19 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
                 mu_scale=f.friction_scale, mass_scale=f.mass_scale,
                 gravity_offset=f.gravity_offset,
             )
-        if reservoir is not None:
-            # draw an oriented-block terminal pose from the upstream stage's
-            # per-type reservoir (`..._grasp_sim.py:1448-1455`)
-            bp, bq = reservoir.sample(k1, type_idx=type_idx)
-        else:
-            # synthetic fallback: upright block near bin center, random yaw
-            xy = jnp.asarray([0.25, 0.19], dtype=jnp.float32) + cfg.reset_pos_noise * (
-                jax.random.uniform(k1, (2,)) * 2 - 1
-            )
-            yaw = cfg.reset_yaw_noise * (jax.random.uniform(k2, ()) * 2 - 1)
-            bq = quat_from_angle_axis(yaw, jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32))
-            bp = jnp.concatenate([xy, jnp.asarray([0.619], dtype=jnp.float32)])
+        # synthetic pose: upright block near bin center, random yaw
+        xy = jnp.asarray([0.25, 0.19], dtype=jnp.float32) + cfg.reset_pos_noise * (
+            jax.random.uniform(k1, (2,)) * 2 - 1
+        )
+        yaw = cfg.reset_yaw_noise * (jax.random.uniform(k2, ()) * 2 - 1)
+        bq_syn = quat_from_angle_axis(yaw, jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32))
+        bp_syn = jnp.concatenate([xy, jnp.asarray([0.619], dtype=jnp.float32)])
+        # upstream oriented-block terminal pose from the per-type reservoir
+        # bucket (`..._grasp_sim.py:1448-1455`); empty bucket -> synthetic
+        samp = reslib.sample(ctx["reservoir"], k1, t)
+        have = ctx["reservoir"].count[t] > 0
+        bp = jnp.where(have, samp["pos"], bp_syn)
+        bq = jnp.where(have, samp["rot"], bq_syn)
         s = s._replace(
             q=default_q,
             qd=jnp.zeros(D, dtype=jnp.float32),
@@ -212,7 +258,7 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
             body_linvel=jnp.zeros_like(s.body_linvel),
             body_angvel=jnp.zeros_like(s.body_angvel),
         )
-        return s, bp, bq
+        return s, bp, bq, t
 
     def _observe(state: GraspTaskState, fk_res):
         """One 132-dim obs frame + 188-dim state frame
@@ -341,9 +387,9 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         st = st.at[184:188].set(cam_tgt_rot)
         return obs, st, key, cam_tgt_rot
 
-    def reset(key) -> GraspTaskState:
+    def reset_ctx(key, ctx) -> GraspTaskState:
         k0, k1 = jax.random.split(key)
-        s, bp, bq = _reset_sim(k0)
+        s, bp, bq, t = _reset_sim(k0, ctx)
         state = GraspTaskState(
             sim=s,
             key=k1,
@@ -357,6 +403,7 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
             successes=jnp.float32(0.0),
             meta_rew=jnp.float32(0.0),
             actions=jnp.zeros(NUM_ACTIONS, dtype=jnp.float32),
+            lego_type=t,
         )
         fk_res = sim.fk(s.q, s.qd)
         obs, st, key, _ = _observe(state, fk_res)
@@ -367,9 +414,9 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         )
         return state
 
-    def step(state: GraspTaskState, action: jnp.ndarray):
+    def step_ctx(state: GraspTaskState, action: jnp.ndarray, ctx):
         # fold pending reset (reference resets inside pre_physics_step)
-        fresh = reset(state.key)
+        fresh = reset_ctx(state.key, ctx)
         state = select_tree(state.reset_flag, fresh, state)
 
         action = clip_actions(action)
@@ -460,13 +507,9 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         # slipped) and lifted; the backward pass additionally gates on the
         # Grasp->Insert T-value confidence > 0.8 (`:1404-1407`)
         grasp_ok = (success > 0.0) & (finger_dist < 0.6)
-        if tvalue_params is not None:
-            from ...seqdex.tvalue import tvalue_confidence
-
-            conf = tvalue_confidence(tvalue_params, cam_tgt_rot)
-            save_valid = done & grasp_ok & (conf > 0.8)
-        else:
-            save_valid = done & grasp_ok
+        conf = tvlib.tvalue_confidence(ctx["tvalue"], cam_tgt_rot)
+        save_valid = done & grasp_ok & jnp.where(
+            ctx["tvalue_on"] > 0.5, conf > 0.8, True)
 
         state = state._replace(
             obs_stack=obs_stack,
@@ -493,13 +536,21 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
                 "terminal_q": s.q,
                 "terminal_pos": tgt_pos,
                 "terminal_rot": tgt_rot,
-                "terminal_type": jnp.int32(type_idx),
+                "terminal_type": state.lego_type,
                 "tvalue_valid": done,
                 "tvalue_input": cam_tgt_rot,
                 "tvalue_label": jnp.where(grasp_ok, 1.0, 0.0),
             },
         )
         return state, out
+
+    _default_ctx = init_ctx()
+
+    def reset(key) -> GraspTaskState:  # ctx-unaware binding (tests, players)
+        return reset_ctx(key, _default_ctx)
+
+    def step(state: GraspTaskState, action: jnp.ndarray):
+        return step_ctx(state, action, _default_ctx)
 
     env = Env(
         name="BlockAssemblyGraspSim",
@@ -510,10 +561,13 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         reset=reset,
         step=step,
         sim=sim,
+        init_ctx=init_ctx,
+        reset_ctx=reset_ctx,
+        step_ctx=step_ctx,
     )
 
     def collect_terminal_states(params, num_envs=64, steps=None, seed=0,
-                                sampler=None):
+                                sampler=None, ctx=None):
         """Harvest grasp terminals into a per-type GraspTerminalSampler for
         InsertSim resets (`..._insert_sim.py:372-375`)."""
         from ...seqdex.handoff import GraspTerminalSampler, rollout_collect
@@ -522,6 +576,7 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("terminal_q", "terminal_pos", "terminal_rot", "terminal_type"),
+            ctx=ctx,
         )
         sampler = sampler or GraspTerminalSampler(
             ndof=D, num_types=len(builders.LEGO_TYPES))
@@ -535,7 +590,7 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
             )
         return sampler
 
-    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0):
+    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0, ctx=None):
         """(succ, fail) camera-frame block rotations labelled by grasp
         quality — the env's HDF5 dump (`..._grasp_sim.py:1404-1440`); trains
         the T-value that gates Orient's success."""
@@ -545,6 +600,7 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("tvalue_input", "tvalue_label"), valid_key="tvalue_valid",
+            ctx=ctx,
         )
         return split_tvalue_data(data)
 

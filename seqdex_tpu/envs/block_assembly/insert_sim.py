@@ -52,7 +52,9 @@ class InsertSimConfig:
     episode_length: int = 125
     action_moving_average: float = 1.0
     vel_obs_scale: float = 0.2
-    lego_type: str = "1x2"
+    # "all" = reference multi-type scene (runtime brick geometry for both the
+    # held block and the socket, see envs/block_assembly/multitype.py)
+    lego_type: str = "all"
     substeps: int = 2
     solver_iterations: int = 16
     max_contacts: int = 48
@@ -78,6 +80,7 @@ class InsertTaskState(NamedTuple):
     successes: jnp.ndarray
     actions: jnp.ndarray
     init_cam_rot: jnp.ndarray  # (4,) camera-frame block rot at reset (T-value input)
+    lego_type: jnp.ndarray  # i32 scalar
 
 
 # wrist orientation lock (`..._insert_sim.py` target_euler, same constant as
@@ -93,19 +96,23 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
                         reservoir=None) -> Env:
     one_frame_obs = 156 if cfg.real_obs else ONE_FRAME_OBS
     stack = 3 if cfg.real_obs else STACK
-    if reservoir is not None and hasattr(reservoir, "count") and \
-            reservoir.count(builders.LEGO_TYPES.index(cfg.lego_type)) == 0:
-        reservoir = None  # empty bucket -> synthetic reset fallback
+    multi = cfg.lego_type == "all"
+    from . import multitype
+
+    union_kind = multitype.UNION_BRICK_KIND if multi else cfg.lego_type
     art_spec = builders.franka_allegro()
-    brick = builders.lego_brick(cfg.lego_type, name="target")
+    brick = builders.lego_brick(union_kind, name="target")
     # socket: a kinematic brick already on the plate that the block mates to
-    socket = builders.lego_brick(cfg.lego_type, name="socket")
+    socket = builders.lego_brick(union_kind, name="socket")
     socket = dataclasses.replace(socket, kinematic=True)
     scene = compile_scene(
         art_spec,
         bodies=[brick, socket],
         statics=[builders.table(), builders.ground()],
     )
+    type_tables = (multitype.build_type_tables(scene, ("target", "socket"))
+                   if multi else None)
+    num_types = len(builders.LEGO_TYPES)
     art = scene.art
     _force_links = tuple(art.link_index(n) for n in builders.FSR_LINKS)
     sim = make_sim(
@@ -128,7 +135,20 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
     fsr = tuple(art.link_index(n) for n in builders.FSR_LINKS)
     target_body = scene.body_index("target")
     socket_body = scene.body_index("socket")
-    type_idx = builders.LEGO_TYPES.index(cfg.lego_type)
+    type_idx_static = (0 if multi
+                       else builders.LEGO_TYPES.index(cfg.lego_type))
+
+    from ...seqdex import reservoir as reslib
+
+    def init_ctx():
+        """Runtime shared context (see envs/base.Env.init_ctx)."""
+        res = (reservoir.res if reservoir is not None
+               else reslib.create(
+                   {"q": jnp.zeros(D),
+                    "pos": jnp.zeros(3),
+                    "rot": jnp.asarray([0.0, 0.0, 0.0, 1.0])},
+                   capacity=4096, num_types=num_types))
+        return {"reservoir": res}
 
     # wrist camera extrinsics (same mount frame as grasp_sim `:887-889`);
     # the camera-frame block rotation at reset is the Grasp->Insert T-value
@@ -154,9 +174,14 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         off = quat_apply(q, jnp.tile(jnp.asarray([0.0, 0.0, 0.04], dtype=jnp.float32), (4, 1)))
         return p + off
 
-    def _reset_sim(key):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
+    def _reset_sim(key, ctx):
+        k1, k2, k3, kt = jax.random.split(key, 4)
         s = sim.init_state(hold_q)
+        if multi:
+            t = jax.random.randint(kt, (), 0, num_types)
+            s = s._replace(geom=multitype.geom_for_type(type_tables, t))
+        else:
+            t = jnp.int32(type_idx_static)
         # socket on the table near (0.25, -0.2) with yaw in {0, 90 deg}
         # (`..._insert_sim.py:1437-1445`)
         ri = jax.random.randint(k1, (3,), 0, 2)
@@ -172,18 +197,22 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         tgt = sp + quat_apply(sq, jnp.asarray([0.0, 0.0, 0.0375], dtype=jnp.float32))
         tgt = tgt + quat_apply(sq, jnp.asarray([0.0, 0.015, 0.0], dtype=jnp.float32))
 
-        if reservoir is not None:
-            q0, block_pos, block_rot = reservoir.sample(k2, type_idx=type_idx)
-        else:
-            q0 = hold_q
-            fk0 = sim.fk(q0, jnp.zeros(D, dtype=jnp.float32))
-            palm = fk0.pos[art.link_index("palm_center")]
-            nz = (jax.random.uniform(k3, (3,)) * 2 - 1) * 0.005
-            block_pos = palm + jnp.asarray([0.0, 0.0, -0.02], dtype=jnp.float32) + nz
-            block_rot = quat_mul(
-                fk0.quat[hand_base],
-                quat_from_euler_xyz(jnp.float32(jnp.pi), jnp.float32(0.0), jnp.float32(0.0)),
-            )
+        # synthetic hold pose
+        fk0 = sim.fk(hold_q, jnp.zeros(D, dtype=jnp.float32))
+        palm = fk0.pos[art.link_index("palm_center")]
+        nz = (jax.random.uniform(k3, (3,)) * 2 - 1) * 0.005
+        pos_syn = palm + jnp.asarray([0.0, 0.0, -0.02], dtype=jnp.float32) + nz
+        rot_syn = quat_mul(
+            fk0.quat[hand_base],
+            quat_from_euler_xyz(jnp.float32(jnp.pi), jnp.float32(0.0), jnp.float32(0.0)),
+        )
+        # grasp terminal (hand dof + held-block pose) from the per-type
+        # reservoir bucket when filled (`..._insert_sim.py:372-375,1448-1455`)
+        samp = reslib.sample(ctx["reservoir"], k2, t)
+        have = ctx["reservoir"].count[t] > 0
+        q0 = jnp.where(have, samp["q"], hold_q)
+        block_pos = jnp.where(have, samp["pos"], pos_syn)
+        block_rot = jnp.where(have, samp["rot"], rot_syn)
         s = s._replace(
             q=q0,
             qd=jnp.zeros(D, dtype=jnp.float32),
@@ -193,7 +222,7 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
             body_linvel=jnp.zeros_like(s.body_linvel),
             body_angvel=jnp.zeros_like(s.body_angvel),
         )
-        return s, tgt, sq
+        return s, tgt, sq, t
 
     def _observe(state: InsertTaskState, fk_res):
         """75-dim frame (`..._insert_sim.py:1281-1298`) + 188 states
@@ -293,9 +322,9 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         cam_tgt_rot, _ = tf_combine(qc_inv, pc_inv, tgt_rot, tgt_pos)
         return cam_tgt_rot
 
-    def reset(key) -> InsertTaskState:
+    def reset_ctx(key, ctx) -> InsertTaskState:
         k0, k1 = jax.random.split(key)
-        s, tgt, sq = _reset_sim(k0)
+        s, tgt, sq, t = _reset_sim(k0, ctx)
         fk0 = sim.fk(s.q, s.qd)
         init_cam_rot = _cam_rot(fk0, s.body_quat[target_body], s.body_pos[target_body])
         state = InsertTaskState(
@@ -311,6 +340,7 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
             successes=jnp.float32(0.0),
             actions=jnp.zeros(NUM_ACTIONS, dtype=jnp.float32),
             init_cam_rot=init_cam_rot,
+            lego_type=t,
         )
         fk_res = fk0
         obs, st = _observe(state, fk_res)
@@ -319,8 +349,8 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
             state_stack=push_frame(state.state_stack, st),
         )
 
-    def step(state: InsertTaskState, action: jnp.ndarray):
-        fresh = reset(state.key)
+    def step_ctx(state: InsertTaskState, action: jnp.ndarray, ctx):
+        fresh = reset_ctx(state.key, ctx)
         state = select_tree(state.reset_flag, fresh, state)
 
         action = clip_actions(action)
@@ -407,10 +437,18 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
                 "terminal_valid": done & (success > 0.0),
                 "terminal_pos": tgt_pos,
                 "terminal_rot": tgt_rot,
-                "terminal_type": jnp.int32(type_idx),
+                "terminal_type": state.lego_type,
             },
         )
         return state, out
+
+    _default_ctx = init_ctx()
+
+    def reset(key) -> InsertTaskState:  # ctx-unaware binding
+        return reset_ctx(key, _default_ctx)
+
+    def step(state: InsertTaskState, action: jnp.ndarray):
+        return step_ctx(state, action, _default_ctx)
 
     env = Env(
         name="BlockAssemblyInsert" if cfg.real_obs else "BlockAssemblyInsertSim",
@@ -421,9 +459,12 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         reset=reset,
         step=step,
         sim=sim,
+        init_ctx=init_ctx,
+        reset_ctx=reset_ctx,
+        step_ctx=step_ctx,
     )
 
-    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0):
+    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0, ctx=None):
         """(succ, fail) camera-frame block rotations labelled by insertion
         outcome — trains the Grasp->Insert T-value that gates GraspSim's
         terminal saving (`..._grasp_sim.py:1404-1407`)."""
@@ -433,6 +474,7 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("tvalue_input", "tvalue_label"), valid_key="tvalue_valid",
+            ctx=ctx,
         )
         return split_tvalue_data(data)
 

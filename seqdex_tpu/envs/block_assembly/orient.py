@@ -56,7 +56,9 @@ class OrientConfig:
     episode_length: int = 75
     action_moving_average: float = 1.0
     vel_obs_scale: float = 0.2
-    lego_type: str = "1x2"
+    # "all" = reference multi-type scene (runtime brick geometry, see
+    # envs/block_assembly/multitype.py); a type name compiles single-type
+    lego_type: str = "all"
     substeps: int = 2
     solver_iterations: int = 16
     max_contacts: int = 48
@@ -79,6 +81,7 @@ class OrientTaskState(NamedTuple):
     target_init_rot: jnp.ndarray
     successes: jnp.ndarray
     actions: jnp.ndarray
+    lego_type: jnp.ndarray  # i32 scalar
 
 
 def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
@@ -90,14 +93,39 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
     binarised then thresholded at 0.6 in `:1408`) and the binarised
     confidence is added to the reward (the bi-opt fine-tune shaping term,
     `..._orient.py:1887`)."""
-    if reservoir is not None and hasattr(reservoir, "count") and \
-            reservoir.count(builders.LEGO_TYPES.index(cfg.lego_type)) == 0:
-        reservoir = None  # empty bucket -> synthetic reset fallback
+    multi = cfg.lego_type == "all"
+    from . import multitype
+
     art_spec = builders.franka_allegro()
-    brick = builders.lego_brick(cfg.lego_type, name="target")
+    brick = builders.lego_brick(
+        multitype.UNION_BRICK_KIND if multi else cfg.lego_type, name="target")
     scene = compile_scene(
         art_spec, bodies=[brick], statics=[builders.table(), builders.ground()]
     )
+    type_tables = multitype.build_type_tables(scene) if multi else None
+    num_types = len(builders.LEGO_TYPES)
+    type_idx_static = (0 if multi
+                       else builders.LEGO_TYPES.index(cfg.lego_type))
+
+    from ...seqdex import reservoir as reslib
+    from ...seqdex import tvalue as tvlib
+
+    def init_ctx():
+        """Runtime shared context (see envs/base.Env.init_ctx)."""
+        res = (reservoir.res if reservoir is not None
+               else reslib.create(
+                   {"pos": jnp.zeros(3),
+                    "rot": jnp.asarray([0.0, 0.0, 0.0, 1.0])},
+                   capacity=4096, num_types=num_types))
+        tv = (tvalue_params if tvalue_params is not None
+              else tvlib.init_tvalue(
+                  jax.random.PRNGKey(0), tvlib.GRASP_INSERT_IN,
+                  tvlib.GRASP_INSERT_HIDDEN))
+        return {
+            "reservoir": res,
+            "tvalue": tv,
+            "tvalue_on": jnp.float32(0.0 if tvalue_params is None else 1.0),
+        }
     art = scene.art
     _force_links = tuple(art.link_index(n) for n in builders.FSR_LINKS)
     sim = make_sim(
@@ -156,38 +184,47 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
 
         return jax.lax.fori_loop(0, cfg.descent_iters, body, q0)
 
-    def _reset_sim(key):
+    def _reset_sim(key, ctx):
         from ...core.math import quat_from_angle_axis, random_quat
 
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, kt = jax.random.split(key, 4)
         reset_q0 = jnp.zeros(D, dtype=jnp.float32).at[:7].set(
             jnp.asarray(builders.DEFAULT_ARM_QPOS, dtype=jnp.float32)
         ).at[7:23].set(reset_fingers)
         s = sim.init_state(reset_q0)
-        if reservoir is not None:
-            block_pos, block_rot = reservoir.sample(
-                k1, type_idx=builders.LEGO_TYPES.index(cfg.lego_type))
-            # the saved terminal block may still be airborne (just dug out) —
-            # settle it onto the tabletop, keeping xy + orientation
-            block_pos = block_pos.at[2].set(jnp.maximum(block_pos[2], 0.635))
+        if multi:
+            t = jax.random.randint(kt, (), 0, num_types)
+            s = s._replace(geom=multitype.geom_for_type(type_tables, t))
         else:
-            xy = jnp.asarray([0.25, 0.19], dtype=jnp.float32) + 0.02 * (
-                jax.random.uniform(k1, (2,)) * 2 - 1
+            t = jnp.int32(type_idx_static)
+        # synthetic pose on the tabletop
+        xy = jnp.asarray([0.25, 0.19], dtype=jnp.float32) + 0.02 * (
+            jax.random.uniform(k1, (2,)) * 2 - 1
+        )
+        if cfg.single_rotation:
+            # OrientOnce: one 90/180-degree rotation about a lateral axis
+            k2a, k2b = jax.random.split(k2)
+            angle = jax.random.randint(k2a, (), 1, 3).astype(jnp.float32) * (jnp.pi / 2)
+            axis = jnp.where(
+                jax.random.bernoulli(k2b),
+                jnp.asarray([1.0, 0.0, 0.0], dtype=jnp.float32),
+                jnp.asarray([0.0, 1.0, 0.0], dtype=jnp.float32),
             )
-            if cfg.single_rotation:
-                # OrientOnce: one 90/180-degree rotation about a lateral axis
-                k2a, k2b = jax.random.split(k2)
-                angle = jax.random.randint(k2a, (), 1, 3).astype(jnp.float32) * (jnp.pi / 2)
-                axis = jnp.where(
-                    jax.random.bernoulli(k2b),
-                    jnp.asarray([1.0, 0.0, 0.0], dtype=jnp.float32),
-                    jnp.asarray([0.0, 1.0, 0.0], dtype=jnp.float32),
-                )
-                block_rot = quat_from_angle_axis(angle, axis)
-            else:
-                # arbitrary orientation resting on the table (face/edge up)
-                block_rot = random_quat(k2)
-            block_pos = jnp.concatenate([xy, jnp.asarray([0.635], dtype=jnp.float32)])
+            rot_syn = quat_from_angle_axis(angle, axis)
+        else:
+            # arbitrary orientation resting on the table (face/edge up)
+            rot_syn = random_quat(k2)
+        pos_syn = jnp.concatenate([xy, jnp.asarray([0.635], dtype=jnp.float32)])
+        # Search terminal from the per-type reservoir bucket when filled
+        # (`..._orient.py:419-420`); saved blocks may be airborne (just dug
+        # out) — settle onto the tabletop keeping xy + orientation
+        samp = reslib.sample(ctx["reservoir"], k1, t)
+        have = ctx["reservoir"].count[t] > 0
+        block_pos = jnp.where(have,
+                              samp["pos"].at[2].set(
+                                  jnp.maximum(samp["pos"][2], 0.635)),
+                              pos_syn)
+        block_rot = jnp.where(have, samp["rot"], rot_syn)
         q0 = jnp.zeros(D, dtype=jnp.float32)
         q0 = q0.at[:7].set(jnp.asarray(builders.DEFAULT_ARM_QPOS, dtype=jnp.float32))
         q0 = q0.at[7:23].set(reset_fingers)
@@ -201,7 +238,7 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
             body_linvel=jnp.zeros_like(s.body_linvel),
             body_angvel=jnp.zeros_like(s.body_angvel),
         )
-        return s, block_pos, block_rot
+        return s, block_pos, block_rot, t
 
     def _observe(state: OrientTaskState, fk_res):
         """62-dim frame: the first 62 slots of the sim-observation layout
@@ -290,9 +327,9 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
         st = st.at[177:181].set(cam_tgt_rot)
         return obs, st, key, cam_tgt_rot_clean
 
-    def reset(key) -> OrientTaskState:
+    def reset_ctx(key, ctx) -> OrientTaskState:
         k0, k1 = jax.random.split(key)
-        s, bp, bq = _reset_sim(k0)
+        s, bp, bq, t = _reset_sim(k0, ctx)
         state = OrientTaskState(
             sim=s,
             key=k1,
@@ -305,6 +342,7 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
             target_init_rot=bq,
             successes=jnp.float32(0.0),
             actions=jnp.zeros(NUM_ACTIONS, dtype=jnp.float32),
+            lego_type=t,
         )
         fk_res = sim.fk(s.q, s.qd)
         obs, st, key, _ = _observe(state, fk_res)
@@ -314,8 +352,8 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
             key=key,
         )
 
-    def step(state: OrientTaskState, action: jnp.ndarray):
-        fresh = reset(state.key)
+    def step_ctx(state: OrientTaskState, action: jnp.ndarray, ctx):
+        fresh = reset_ctx(state.key, ctx)
         state = select_tree(state.reset_flag, fresh, state)
 
         action = clip_actions(action)
@@ -373,18 +411,15 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
         )
         success = jnp.where(z_align > 0.8, 1.0, 0.0)
 
-        if tvalue_params is not None:
-            # backward-pass T-value gate: binarise sigmoid confidence at 0.99
-            # (`..._orient.py:1201-1203`), gate success (`:1408`), add the
-            # binarised confidence to the reward (`:1887` shaping term)
-            from ...seqdex.tvalue import tvalue_confidence
-
-            conf = tvalue_confidence(tvalue_params, cam_tgt_rot)
-            tvalue_bin = jnp.where(conf > 0.99, 1.0, 0.0)
-            success = success * tvalue_bin
-            reward = reward + tvalue_bin
-        else:
-            tvalue_bin = jnp.float32(1.0)
+        # backward-pass T-value gate (runtime-switched via ctx["tvalue_on"]):
+        # binarise sigmoid confidence at 0.99 (`..._orient.py:1201-1203`),
+        # gate success (`:1408`), add the binarised confidence to the reward
+        # (`:1887` shaping term)
+        conf = tvlib.tvalue_confidence(ctx["tvalue"], cam_tgt_rot)
+        on = ctx["tvalue_on"] > 0.5
+        tvalue_bin = jnp.where(on, jnp.where(conf > 0.99, 1.0, 0.0), 1.0)
+        success = success * tvalue_bin
+        reward = reward + jnp.where(on, tvalue_bin, 0.0)
 
         timed_out = prog >= cfg.episode_length - 1
         done = timed_out
@@ -414,13 +449,21 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
                 "terminal_valid": save_valid,
                 "terminal_pos": tgt_pos,
                 "terminal_rot": tgt_rot,
-                "terminal_type": jnp.int32(builders.LEGO_TYPES.index(cfg.lego_type)),
+                "terminal_type": state.lego_type,
                 "tvalue_valid": done,
                 "tvalue_input": cam_tgt_rot,
                 "tvalue_label": face_up,
             },
         )
         return state, out
+
+    _default_ctx = init_ctx()
+
+    def reset(key) -> OrientTaskState:  # ctx-unaware binding
+        return reset_ctx(key, _default_ctx)
+
+    def step(state: OrientTaskState, action: jnp.ndarray):
+        return step_ctx(state, action, _default_ctx)
 
     env = Env(
         name="BlockAssemblyOrient",
@@ -431,10 +474,13 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
         reset=reset,
         step=step,
         sim=sim,
+        init_ctx=init_ctx,
+        reset_ctx=reset_ctx,
+        step_ctx=step_ctx,
     )
 
     def collect_terminal_states(params, num_envs=64, steps=None, seed=0,
-                                sampler=None):
+                                sampler=None, ctx=None):
         """Face-up oriented block poses -> per-type BlockPoseSampler feeding
         GraspSim resets (`..._orient.py:1462-1515`)."""
         from ...seqdex.handoff import BlockPoseSampler, rollout_collect
@@ -443,6 +489,7 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("terminal_pos", "terminal_rot", "terminal_type"),
+            ctx=ctx,
         )
         sampler = sampler or BlockPoseSampler(num_types=len(builders.LEGO_TYPES))
         if len(data["terminal_pos"]):
@@ -454,13 +501,14 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
             )
         return sampler
 
-    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0):
+    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0, ctx=None):
         from ...seqdex.handoff import rollout_collect, split_tvalue_data
 
         steps = steps or cfg.episode_length + 2
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("tvalue_input", "tvalue_label"), valid_key="tvalue_valid",
+            ctx=ctx,
         )
         return split_tvalue_data(data)
 

@@ -314,7 +314,19 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
         tv_frame = tv_frame.at[64].set(count / 100.0)
         return obs, st, count, tv_frame
 
-    def reset(key) -> SearchTaskState:
+    from ...seqdex import tvalue as tvlib
+
+    def init_ctx():
+        """Runtime shared context: the 650-dim RetriGraspTValue params
+        (Search has no upstream reservoir — it is the chain's first stage)."""
+        tv = (tvalue_params if tvalue_params is not None
+              else tvlib.init_tvalue(
+                  jax.random.PRNGKey(0), tvlib.RETRI_GRASP_IN,
+                  tvlib.RETRI_GRASP_HIDDEN))
+        return {"tvalue": tv,
+                "tvalue_on": jnp.float32(0.0 if tvalue_params is None else 1.0)}
+
+    def reset_ctx(key, ctx) -> SearchTaskState:
         k0, k1 = jax.random.split(key)
         s, target = _reset_sim(k0)
         state = SearchTaskState(
@@ -343,8 +355,8 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
                 [state.tvalue_buf[1:], tv_frame[None]], axis=0),
         )
 
-    def step(state: SearchTaskState, action: jnp.ndarray):
-        fresh = reset(state.key)
+    def step_ctx(state: SearchTaskState, action: jnp.ndarray, ctx):
+        fresh = reset_ctx(state.key, ctx)
         state = select_tree(state.reset_flag, fresh, state)
 
         action = clip_actions(action)
@@ -416,11 +428,9 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
         # per-type terminal capture (`search.py:1304-1355`): backward pass
         # additionally filters by RetriGraspTValue confidence
         save_valid = done & (success > 0.0)
-        if tvalue_params is not None:
-            from ...seqdex.tvalue import tvalue_confidence
-
-            conf = tvalue_confidence(tvalue_params, tvalue_buf.reshape(-1))
-            save_valid = save_valid & (conf > 0.6)
+        conf = tvlib.tvalue_confidence(ctx["tvalue"], tvalue_buf.reshape(-1))
+        save_valid = save_valid & jnp.where(
+            ctx["tvalue_on"] > 0.5, conf > 0.6, True)
 
         state = state._replace(
             obs_stack=obs_stack,
@@ -452,6 +462,14 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
         )
         return state, out
 
+    _default_ctx = init_ctx()
+
+    def reset(key) -> SearchTaskState:  # ctx-unaware binding
+        return reset_ctx(key, _default_ctx)
+
+    def step(state: SearchTaskState, action: jnp.ndarray):
+        return step_ctx(state, action, _default_ctx)
+
     env = Env(
         name="BlockAssemblySearch",
         num_obs=ONE_FRAME_OBS * STACK,
@@ -461,10 +479,13 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
         reset=reset,
         step=step,
         sim=sim,
+        init_ctx=init_ctx,
+        reset_ctx=reset_ctx,
+        step_ctx=step_ctx,
     )
 
     def collect_terminal_states(params, num_envs=64, steps=None, seed=0,
-                                sampler=None):
+                                sampler=None, ctx=None):
         """Per-type dug-out block poses -> BlockPoseSampler feeding Orient
         resets (`search.py:1304-1355`, read at `orient.py:419-420`)."""
         from ...seqdex.handoff import BlockPoseSampler, rollout_collect
@@ -473,6 +494,7 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("terminal_pos", "terminal_rot", "terminal_type"),
+            ctx=ctx,
         )
         sampler = sampler or BlockPoseSampler(num_types=len(builders.LEGO_TYPES))
         if len(data["terminal_pos"]):
@@ -484,7 +506,7 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
             )
         return sampler
 
-    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0):
+    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0, ctx=None):
         """(succ, fail) 650-dim temporal buffers labelled by emergence — the
         RetriGraspTValue offline dataset (`search.py:1315-1345`)."""
         from ...seqdex.handoff import rollout_collect, split_tvalue_data
@@ -493,6 +515,7 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("tvalue_input", "tvalue_label"), valid_key="tvalue_valid",
+            ctx=ctx,
         )
         return split_tvalue_data(data)
 

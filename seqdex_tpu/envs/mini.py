@@ -154,11 +154,18 @@ def make_mini_env(cfg: MiniConfig = MiniConfig()) -> Env:
     default_q = jnp.asarray([0.6, 0.0, -0.9, 0.0][: D] + [0.0] * max(0, D - 4),
                             dtype=jnp.float32)
 
-    def _reset_sim(key):
+    def init_ctx():
+        """Tiny runtime context (mirrors the block-assembly envs' ctx
+        mechanism so the fast suite exercises the trainers' ctx threading):
+        a shift added to the box reset position."""
+        return {"target_shift": jnp.zeros(3, dtype=jnp.float32)}
+
+    def _reset_sim(key, ctx):
         k1, _ = jax.random.split(key)
         s = sim.init_state(default_q)
         xy = 0.12 + 0.04 * jax.random.uniform(k1, (2,))
-        bp = jnp.concatenate([xy, jnp.asarray([0.03], dtype=jnp.float32)])
+        bp = (jnp.concatenate([xy, jnp.asarray([0.03], dtype=jnp.float32)])
+              + ctx["target_shift"])
         s = s._replace(
             body_pos=s.body_pos.at[box].set(bp),
             body_linvel=jnp.zeros_like(s.body_linvel),
@@ -187,9 +194,9 @@ def make_mini_env(cfg: MiniConfig = MiniConfig()) -> Env:
         st = jnp.pad(st, (0, ONE_FRAME_STATES - st.shape[0]))
         return obs, st
 
-    def reset(key) -> MiniTaskState:
+    def reset_ctx(key, ctx) -> MiniTaskState:
         k0, k1 = jax.random.split(key)
-        s, bp = _reset_sim(k0)
+        s, bp = _reset_sim(k0, ctx)
         state = MiniTaskState(
             sim=s,
             key=k1,
@@ -208,8 +215,8 @@ def make_mini_env(cfg: MiniConfig = MiniConfig()) -> Env:
             state_stack=push_frame(state.state_stack, st),
         )
 
-    def step(state: MiniTaskState, action):
-        fresh = reset(state.key)
+    def step_ctx(state: MiniTaskState, action, ctx):
+        fresh = reset_ctx(state.key, ctx)
         state = select_tree(state.reset_flag, fresh, state)
 
         action = clip_actions(action)
@@ -247,6 +254,14 @@ def make_mini_env(cfg: MiniConfig = MiniConfig()) -> Env:
         )
         return state, out
 
+    _default_ctx = init_ctx()
+
+    def reset(key) -> MiniTaskState:  # ctx-unaware binding
+        return reset_ctx(key, _default_ctx)
+
+    def step(state: MiniTaskState, action):
+        return step_ctx(state, action, _default_ctx)
+
     return Env(
         name="MiniReach",
         num_obs=ONE_FRAME_OBS * STACK,
@@ -256,4 +271,7 @@ def make_mini_env(cfg: MiniConfig = MiniConfig()) -> Env:
         reset=reset,
         step=step,
         sim=sim,
+        init_ctx=init_ctx,
+        reset_ctx=reset_ctx,
+        step_ctx=step_ctx,
     )

@@ -69,6 +69,11 @@ class TrainState(NamedTuple):
     last_states: jnp.ndarray  # (N, states)
     key: jnp.ndarray
     epoch: jnp.ndarray
+    # shared runtime env context (reservoir contents, T-value params — see
+    # envs/base.Env.init_ctx). A runtime ARG of train_epoch: swapping it
+    # between epochs/bi-opt iterations does NOT recompile. None for
+    # ctx-unaware envs.
+    env_ctx: object = None
 
 
 class Rollout(NamedTuple):
@@ -86,18 +91,29 @@ class Rollout(NamedTuple):
 def make_ppo(env: Env, cfg: PPOConfig, axis_name: Optional[str] = None):
     """Returns (init_fn, train_epoch_fn, act_fn)."""
 
-    batched_reset = jax.vmap(env.reset)
+    has_ctx = env.init_ctx is not None
 
-    def _slim_step(state, action):
-        # the trainer consumes only info["successes"]; dropping the chain
-        # handoff info (terminal snapshots, T-value rows) BEFORE tracing
-        # keeps the dead outputs out of the jaxpr — they otherwise inflate
-        # the GSPMD partition/compile time of the training program several-
-        # fold (the collectors that need them call env.step directly)
-        state, out = env.step(state, action)
-        return state, out._replace(info={"successes": out.info["successes"]})
+    if has_ctx:
+        batched_reset = jax.vmap(env.reset_ctx, in_axes=(0, None))
 
-    batched_step = jax.vmap(_slim_step)
+        def _slim_step(state, action, ctx):
+            state, out = env.step_ctx(state, action, ctx)
+            return state, out._replace(info={"successes": out.info["successes"]})
+
+        batched_step = jax.vmap(_slim_step, in_axes=(0, 0, None))
+    else:
+        batched_reset = jax.vmap(env.reset)
+
+        def _slim_step(state, action):
+            # the trainer consumes only info["successes"]; dropping the chain
+            # handoff info (terminal snapshots, T-value rows) BEFORE tracing
+            # keeps the dead outputs out of the jaxpr — they otherwise inflate
+            # the GSPMD partition/compile time of the training program several-
+            # fold (the collectors that need them call env.step directly)
+            state, out = env.step(state, action)
+            return state, out._replace(info={"successes": out.info["successes"]})
+
+        batched_step = jax.vmap(_slim_step)
 
     actor_optimizer = optax.chain(
         optax.clip_by_global_norm(cfg.grad_norm),
@@ -115,14 +131,19 @@ def make_ppo(env: Env, cfg: PPOConfig, axis_name: Optional[str] = None):
             return x
         return jax.lax.pmean(x, axis_name)
 
-    def init(key, env_keys=None) -> TrainState:
+    def init(key, env_keys=None, env_ctx=None) -> TrainState:
         kp, ke, kr = jax.random.split(key, 3)
         params = networks.init_actor_critic(
             kp, env.num_obs, env.num_states, env.num_actions
         )
         if env_keys is None:
             env_keys = jax.random.split(ke, cfg.num_envs)
-        env_state = batched_reset(env_keys)
+        if has_ctx:
+            if env_ctx is None:
+                env_ctx = env.init_ctx()
+            env_state = batched_reset(env_keys, env_ctx)
+        else:
+            env_state = batched_reset(env_keys)
         # initial obs come from the freshly reset stacks
         obs = env_state.obs_stack.reshape(cfg.num_envs, -1)
         states = env_state.state_stack.reshape(cfg.num_envs, -1)
@@ -138,6 +159,7 @@ def make_ppo(env: Env, cfg: PPOConfig, axis_name: Optional[str] = None):
             last_states=states,
             key=kr,
             epoch=jnp.int32(0),
+            env_ctx=env_ctx,
         )
 
     def _value(params, value_norm, states):
@@ -150,7 +172,10 @@ def make_ppo(env: Env, cfg: PPOConfig, axis_name: Optional[str] = None):
             key, ka = jax.random.split(key)
             action, mu, logp = networks.sample_action(ts.params, obs, ka)
             value = _value(ts.params, ts.value_norm, states)
-            env_state, out = batched_step(env_state, action)
+            if has_ctx:
+                env_state, out = batched_step(env_state, action, ts.env_ctx)
+            else:
+                env_state, out = batched_step(env_state, action)
             rec = Rollout(
                 obs=obs, states=states, actions=action, logp=logp, mu=mu,
                 rewards=out.reward, dones=out.done.astype(jnp.float32),

@@ -94,7 +94,7 @@ class GraspTerminalSampler:
 
 
 def rollout_collect(env, params, num_envs: int, steps: int, seed: int = 0,
-                    keys=(), valid_key: str = "terminal_valid"):
+                    keys=(), valid_key: str = "terminal_valid", ctx=None):
     """Generic host-side chain-data harvest.
 
     Rolls the deterministic policy (`actor_mu`) and, at every step, gathers
@@ -102,12 +102,26 @@ def rollout_collect(env, params, num_envs: int, steps: int, seed: int = 0,
     TPU-side analog of the reference's reset_idx host loops that append
     terminal states / HDF5 rows per done env (`search.py:1304-1355`,
     `orient.py:1462-1515`). Returns dict of np arrays (rows = valid events).
+
+    `ctx`: optional runtime env context for ctx-aware envs (defaults to the
+    env's factory-time context).
     """
-    step = jax.jit(
-        lambda s, obs: jax.vmap(env.step)(s, networks.actor_mu(params, obs))
-    )
-    rng = jax.random.split(jax.random.PRNGKey(seed), num_envs)
-    state = jax.jit(jax.vmap(env.reset))(rng)
+    if env.step_ctx is not None:
+        if ctx is None:
+            ctx = env.init_ctx()
+        _step = jax.jit(
+            lambda s, obs, c: jax.vmap(env.step_ctx, in_axes=(0, 0, None))(
+                s, networks.actor_mu(params, obs), c))
+        step = lambda s, obs: _step(s, obs, ctx)
+        rng = jax.random.split(jax.random.PRNGKey(seed), num_envs)
+        state = jax.jit(
+            jax.vmap(env.reset_ctx, in_axes=(0, None)))(rng, ctx)
+    else:
+        step = jax.jit(
+            lambda s, obs: jax.vmap(env.step)(s, networks.actor_mu(params, obs))
+        )
+        rng = jax.random.split(jax.random.PRNGKey(seed), num_envs)
+        state = jax.jit(jax.vmap(env.reset))(rng)
     obs = np.asarray(state.obs_stack.reshape(num_envs, -1))
     acc = {k: [] for k in keys}
     for _ in range(steps):

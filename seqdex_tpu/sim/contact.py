@@ -45,6 +45,28 @@ from ..core.model import GEOM_BOX, GEOM_PLANE, GEOM_SPHERE
 from .scene import OWNER_BODY, OWNER_LINK, OWNER_STATIC, CompiledScene
 
 
+class GeomTables(NamedTuple):
+    """Per-env runtime geometry overrides (multi-type target bricks).
+
+    The reference builds ALL 8 lego types into every env and targets
+    `segmentation_id = i % 8` (`..._grasp_sim.py:706-745,959-965`); the
+    TPU-native equivalent keeps ONE compiled target-brick slot whose collider
+    sizes/positions, contact-point offsets, and mass properties are runtime
+    per-env state gathered from an (8, ...) type table at reset — one
+    program trains all 8 types simultaneously with no extra narrowphase
+    cost. Tables are FULL (C/P/B-sized); non-target rows just repeat the
+    static values.
+    """
+
+    col_size: jnp.ndarray  # (C, 3)
+    col_pos: jnp.ndarray  # (C, 3) in owner frame
+    pt_offset: jnp.ndarray  # (P, 3) in owner frame
+    inv_mass: jnp.ndarray  # (B,)
+    inertia: jnp.ndarray  # (B, 3, 3)
+    inv_inertia: jnp.ndarray  # (B, 3, 3)
+    com: jnp.ndarray  # (B, 3)
+
+
 class ContactSet(NamedTuple):
     """K selected contacts (per env). World vectors are SoA planes."""
 
@@ -153,38 +175,41 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
     pt_owner_j = jnp.asarray(pt_owner)
     pt_kind_j = jnp.asarray(pt_owner_kind)
 
-    def point_world(fk_pos, fk_quat, body_pos, body_quat):
+    def point_world(fk_pos, fk_quat, body_pos, body_quat, geom=None):
         """World positions of all contact points. (P, 3)"""
+        off = pt_offset if geom is None else geom.pt_offset
         lk = jnp.clip(pt_owner_j, 0, fk_pos.shape[0] - 1)
         bk = jnp.clip(pt_owner_j, 0, max(body_pos.shape[0] - 1, 0))
-        p_link = fk_pos[lk] + quat_apply(fk_quat[lk], pt_offset)
+        p_link = fk_pos[lk] + quat_apply(fk_quat[lk], off)
         if body_pos.shape[0] > 0:
-            p_body = body_pos[bk] + quat_apply(body_quat[bk], pt_offset)
+            p_body = body_pos[bk] + quat_apply(body_quat[bk], off)
         else:
             p_body = p_link
         return jnp.where((pt_kind_j == OWNER_LINK)[:, None], p_link, p_body)
 
-    def collider_world(fk_pos, fk_quat, body_pos, body_quat):
+    def collider_world(fk_pos, fk_quat, body_pos, body_quat, geom=None):
         """World pose of all colliders. ((C,3), (C,4))"""
+        cpos = col_pos if geom is None else geom.col_pos
         lk = jnp.clip(col_owner, 0, fk_pos.shape[0] - 1)
         bk = jnp.clip(col_owner, 0, max(body_pos.shape[0] - 1, 0))
-        p_link = fk_pos[lk] + quat_apply(fk_quat[lk], col_pos)
+        p_link = fk_pos[lk] + quat_apply(fk_quat[lk], cpos)
         q_link = quat_mul(fk_quat[lk], col_quat)
         if body_pos.shape[0] > 0:
-            p_body = body_pos[bk] + quat_apply(body_quat[bk], col_pos)
+            p_body = body_pos[bk] + quat_apply(body_quat[bk], cpos)
             q_body = quat_mul(body_quat[bk], col_quat)
         else:
             p_body, q_body = p_link, q_link
         kind = col_owner_kind[:, None]
-        p = jnp.where(kind == OWNER_STATIC, col_pos,
+        p = jnp.where(kind == OWNER_STATIC, cpos,
                       jnp.where(kind == OWNER_LINK, p_link, p_body))
         q = jnp.where(kind == OWNER_STATIC, col_quat,
                       jnp.where(kind == OWNER_LINK, q_link, q_body))
         return p, q
 
-    def narrowphase(fk_pos, fk_quat, body_pos, body_quat) -> ContactSet:
-        pw = point_world(fk_pos, fk_quat, body_pos, body_quat)  # (P, 3)
-        cp, cq = collider_world(fk_pos, fk_quat, body_pos, body_quat)
+    def narrowphase(fk_pos, fk_quat, body_pos, body_quat, geom=None) -> ContactSet:
+        csize = col_size if geom is None else geom.col_size
+        pw = point_world(fk_pos, fk_quat, body_pos, body_quat, geom)  # (P, 3)
+        cp, cq = collider_world(fk_pos, fk_quat, body_pos, body_quat, geom)
         Rc = quat_to_matrix(cq)  # (C, 3, 3)
 
         # SoA: point coordinates in every collider frame, planes of (C, P)
@@ -198,9 +223,9 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
         lz = (Rc[:, 0, 2, None] * rel[:, 0] + Rc[:, 1, 2, None] * rel[:, 1]
               + Rc[:, 2, 2, None] * rel[:, 2])
 
-        hx = col_size[:, 0, None]
-        hy = col_size[:, 1, None]
-        hz = col_size[:, 2, None]
+        hx = csize[:, 0, None]
+        hy = csize[:, 1, None]
+        hz = csize[:, 2, None]
 
         # box SDF (branch-free, SoA planes — selection only, no normals)
         qx, qy, qz = jnp.abs(lx) - hx, jnp.abs(ly) - hy, jnp.abs(lz) - hz
@@ -241,7 +266,7 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
         # collider side (runtime pose rows + static tables)
         cp_k = cp[cidx]
         cq_k = cq[cidx]  # (K, 4) xyzw
-        sz_k = col_size[cidx]
+        sz_k = csize[cidx]
         mu_col = col_friction[cidx]
         boxf = is_box_c[cidx]
         sphf = is_sphere_c[cidx]
@@ -384,6 +409,7 @@ def solve_contact_qp(
     iterations: int,
     max_depenetration_vel: float = 0.5,
     use_pallas: bool = False,
+    fused_solver=None,
 ):
     """Solve the contact impulse QP (see module docstring). Per-env.
 
@@ -402,17 +428,18 @@ def solve_contact_qp(
     # stacked basis world-components: bs[w] = (3K,), basis-major
     bs = tuple(jnp.concatenate([bw[b][w] for b in range(3)]) for w in range(3))
 
-    # robot jacobian in contact frame: (3K, D) basis-major, no transposes
-    Jr = jnp.concatenate(
-        [bw[b][0][:, None] * Jx + bw[b][1][:, None] * Jy + bw[b][2][:, None] * Jz
-         for b in range(3)], axis=0
-    )  # (3K, D)
-    W = jax.lax.dot_general(
-        Jr, inv_M, dimension_numbers=(((1,), (0,)), ((), ())), precision=HI
-    )  # (3K, D)
-    A = jax.lax.dot_general(
-        W, Jr, dimension_numbers=(((1,), (1,)), ((), ())), precision=HI
-    )  # (3K, 3K)
+    if fused_solver is None:
+        # robot jacobian in contact frame: (3K, D) basis-major, no transposes
+        Jr = jnp.concatenate(
+            [bw[b][0][:, None] * Jx + bw[b][1][:, None] * Jy + bw[b][2][:, None] * Jz
+             for b in range(3)], axis=0
+        )  # (3K, D)
+        W = jax.lax.dot_general(
+            Jr, inv_M, dimension_numbers=(((1,), (0,)), ((), ())), precision=HI
+        )  # (3K, D)
+        A = jax.lax.dot_general(
+            W, Jr, dimension_numbers=(((1,), (1,)), ((), ())), precision=HI
+        )  # (3K, 3K)
 
     if B > 0:
         valid_pt = contacts.body_pt >= 0
@@ -423,7 +450,111 @@ def solve_contact_qp(
         invm_col = inv_mass_b[bcl] * valid_col
         Ii_pt = inv_inertia_w[bpt] * valid_pt[:, None, None]  # (K, 3, 3)
         Ii_col = inv_inertia_w[bcl] * valid_col[:, None, None]
+    else:
+        zK = jnp.zeros_like(contacts.px)
+        valid_pt = valid_col = zK > 0
+        bpt = bcl = jnp.zeros_like(contacts.body_pt)
+        invm_pt = invm_col = zK
+        Ii_pt = Ii_col = jnp.zeros((K, 3, 3), dtype=zK.dtype)
 
+    if fused_solver is not None:
+        # --- fused Pallas path: A is assembled and iterated in VMEM -------
+        # All stacking happens HERE (XLA, K-sized, fused for free); the
+        # kernel is concat/transpose-free (see kernels/fused_contact.py).
+        act_f = contacts.active
+        vxf, vyf, vzf = v_rel
+        b3f = [bw[b][0] * vxf + bw[b][1] * vyf + bw[b][2] * vzf
+               for b in range(3)]
+        bias_f = jnp.minimum(
+            baumgarte / dt * jnp.maximum(contacts.depth, 0.0),
+            max_depenetration_vel)
+        mu_f = jnp.where(act_f, contacts.friction, 0.0)
+        rpx, rpy, rpz = r_pt
+        rcx, rcy, rcz = r_col
+
+        # contact-frame robot jacobian, (D, 3K) basis-major columns
+        Jr_blocks = [bw[b][0][:, None] * Jx + bw[b][1][:, None] * Jy
+                     + bw[b][2][:, None] * Jz for b in range(3)]  # (K, D) x3
+        JrT = jnp.concatenate(Jr_blocks, axis=0).T  # (D, 3K)
+
+        def g_planes(rx, ry, rz, b):  # (r x basis_b) K-planes
+            return (ry * bw[b][2] - rz * bw[b][1],
+                    rz * bw[b][0] - rx * bw[b][2],
+                    rx * bw[b][1] - ry * bw[b][0])
+
+        gp = [g_planes(rpx, rpy, rpz, b) for b in range(3)]  # [b][x]
+        gc = [g_planes(rcx, rcy, rcz, b) for b in range(3)]
+
+        # body-coupling factors: A_body = Xb^T Yb (docstring of
+        # kernels/fused_contact.py derives the equivalence to the masked
+        # outer-product assembly below)
+        x_rows, y_rows = [], []
+        for beta in range(B):
+            pt_oh = ((contacts.body_pt == beta) & valid_pt).astype(jnp.float32)
+            col_oh = ((contacts.body_col == beta) & valid_col).astype(jnp.float32)
+            d3 = jnp.tile(pt_oh - col_oh, 3)  # (3K,)
+            im = inv_mass_b[beta]
+            Ii = inv_inertia_w[beta]  # (3, 3)
+            h = [jnp.concatenate(
+                [pt_oh * gp[b][x] - col_oh * gc[b][x] for b in range(3)])
+                for x in range(3)]  # (3K,) per x
+            for w in range(3):
+                x_rows.append(bs[w] * d3)
+                y_rows.append(im * bs[w] * d3)
+            for x in range(3):
+                x_rows.append(h[x])
+                y_rows.append(Ii[x, 0] * h[0] + Ii[x, 1] * h[1]
+                              + Ii[x, 2] * h[2])
+        RB = max(8, ((6 * B + 7) // 8) * 8)
+        while len(x_rows) < RB:  # pad to the tile-aligned row count
+            x_rows.append(jnp.zeros(3 * K, dtype=jnp.float32))
+            y_rows.append(jnp.zeros(3 * K, dtype=jnp.float32))
+        Xb = jnp.stack(x_rows)  # (RB, 3K)
+        Yb = jnp.stack(y_rows)
+
+        vec = jnp.zeros((8, 3 * K), dtype=jnp.float32)
+        vec = vec.at[0].set(jnp.concatenate(
+            [b3f[0] - bias_f, b3f[1], b3f[2]]))
+        vec = vec.at[1].set(jnp.tile(act_f.astype(jnp.float32), 3))
+        veck = jnp.zeros((8, K), dtype=jnp.float32)
+        veck = veck.at[0].set(mu_f)
+        veck = veck.at[1].set(act_f.astype(jnp.float32))
+
+        lam3, dqd = fused_solver(JrT, inv_M, Xb, Yb, vec, veck)
+        lam_k = lam3.T
+        fx = bw[0][0] * lam3[0] + bw[1][0] * lam3[1] + bw[2][0] * lam3[2]
+        fy = bw[0][1] * lam3[0] + bw[1][1] * lam3[1] + bw[2][1] * lam3[2]
+        fz = bw[0][2] * lam3[0] + bw[1][2] * lam3[1] + bw[2][2] * lam3[2]
+        fmag = jnp.sqrt(fx * fx + fy * fy + fz * fz)
+        if B > 0:
+            ohT_pt = ((jnp.arange(B, dtype=jnp.int32)[:, None]
+                       == contacts.body_pt[None, :])
+                      & valid_pt[None, :]).astype(jnp.float32)
+            ohT_col = ((jnp.arange(B, dtype=jnp.int32)[:, None]
+                        == contacts.body_col[None, :])
+                       & valid_col[None, :]).astype(jnp.float32)
+            f_kw = jnp.stack([fx, fy, fz], axis=-1)
+            dbody_v = inv_mass_b[:, None] * (ohT_pt @ f_kw - ohT_col @ f_kw)
+            tq_pt = jnp.stack(
+                [rpy * fz - rpz * fy, rpz * fx - rpx * fz,
+                 rpx * fy - rpy * fx], axis=-1)
+            tq_col = jnp.stack(
+                [rcy * fz - rcz * fy, rcz * fx - rcx * fz,
+                 rcx * fy - rcy * fx], axis=-1)
+            tq = ohT_pt @ tq_pt - ohT_col @ tq_col
+            dbody_w = jnp.einsum("bxy,by->bx", inv_inertia_w, tq, precision=HI)
+        else:
+            dbody_v = jnp.zeros((0, 3), dtype=lam3.dtype)
+            dbody_w = jnp.zeros((0, 3), dtype=lam3.dtype)
+        return SolveResult(
+            impulses=lam_k,
+            fmag=jnp.where(act_f, fmag, 0.0),
+            dqd=dqd,
+            dbody_v=dbody_v,
+            dbody_w=dbody_w,
+        )
+
+    if B > 0:
         # arm x basis planes g[side][x] = (3K,): (r x basis_b)_x per contact
         def arm_cross(r, sign):
             rx, ry, rz = r

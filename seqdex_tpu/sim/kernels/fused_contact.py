@@ -1,0 +1,308 @@
+"""Fused contact solver: Delassus assembly + projected-Jacobi QP in one
+Pallas TPU kernel, multi-env blocked.
+
+Why (measured on v5e, 2048 envs, GraspSim scene, K=48 -> 3K=144): the XLA
+path materializes the batched Delassus A = (N, 144, 144) in HBM (170 MB),
+then re-reads it for the row-sum preconditioner (6.5 ms/substep) and 16x
+inside the QP `while` loop (6.7 ms/substep), with the assembly fusions
+adding ~5 ms more — about half the 35 ms substep. This kernel assembles A
+*in VMEM* from small prebuilt factor matrices and keeps it resident for all
+iterations; per-env HBM traffic drops from ~3 MB to ~40 KB per substep.
+
+Mosaic-proof shape discipline (v5e Mosaic rejects `tpu.concatenate` of
+slices with mismatched minor offsets): the kernel performs NO concatenation,
+NO transposes and NO reshapes. Everything that needs stacking is prebuilt
+OUTSIDE by XLA (K-sized elementwise ops, fused for free):
+
+* `JrT` (D, 3K)  — contact-frame robot Jacobian, basis-major columns.
+* `Xb`, `Yb` (RB, 3K) — body-coupling factor rows with RB = 6 * B:
+  the four same-body masked blocks of the original assembly
+  (S_pp/S_pc/S_cp/S_cc x translational + rotational outer products,
+  `contact.solve_contact_qp`) are EXACTLY `Xb^T @ Yb` with, per body beta:
+      X rows:  bs_w ⊙ d_beta            (w = x,y,z)
+               h_beta[x]                 (x = x,y,z)
+      Y rows:  invm_beta * bs_w ⊙ d_beta
+               (Iinv_beta h_beta)[x]
+  where d_beta = pt_onehot - col_onehot (signed incidence, validity-masked)
+  and h_beta[x] = pt_onehot*g_pt[x] - col_onehot*g_col[x] (lever rows).
+* `vec` (8, 3K) rows: 0 = b (biased contact-frame velocity), 1 = act3.
+* `veck` (8, K) rows: 0 = mu, 1 = act, 2 = depth>0 mask (unused spare).
+
+In-kernel (per env of the block):
+  WT = Minv @ JrT                       (D, 3K)     MXU
+  A  = JrT^T JrT-contraction + Xb^T Yb  (3K, 3K)    MXU, VMEM-resident
+  s  = act3 @ |A|                       (1, 3K)     row-sum preconditioner
+  alpha = 1 / (max over the 3 basis slices of s + reg)
+  `iterations` x projected-Jacobi with lam carried as THREE (1, K) blocks
+  (the matvec contracts lam blocks against lane-slices of A).
+  dqd = lam @ WT^T  (via lane-sliced contractions)
+
+Reference semantics identical to `contact.solve_contact_qp`'s jnp path
+(PhysX TGS budget — 16 position iterations,
+`cfg/allegro_hand_block_assembly_grasp_sim.yaml` sim block).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+def _solve_body(JrT, Minv, Xb, Yb, vec, veck, *, K, D, iterations, reg):
+    """Shared math (kernel body and jnp reference), concat/transpose-free.
+
+    JrT: (D, 3K), Minv: (D, D), Xb/Yb: (RB, 3K), vec: (8, 3K),
+    veck: (8, K). Returns (ln, ltx, lty, dqd_row): three (1, K) impulse
+    blocks + (1, D).
+    """
+    f32 = jnp.float32
+    WT = jax.lax.dot_general(  # (D, 3K)
+        Minv, JrT, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    A = jax.lax.dot_general(  # (3K, 3K) robot part: Jr Minv Jr^T
+        JrT, WT, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    A = A + jax.lax.dot_general(  # body part: Xb^T Yb
+        Xb, Yb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+
+    b_row = vec[0:1, :]  # (1, 3K)
+    act3 = vec[1:2, :]
+    mu = veck[0:1, :]  # (1, K)
+    act = veck[1:2, :]
+
+    # row-sum preconditioner: s[i] = sum_j |A_ij| act[j] = (act3 @ |A|)[i]
+    # (A is symmetric), then max over the 3 basis rows of each contact
+    s_row = jax.lax.dot_general(
+        act3, jnp.abs(A), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)  # (1, 3K)
+    s_k = jnp.maximum(jnp.maximum(s_row[:, 0:K], s_row[:, K:2 * K]),
+                      s_row[:, 2 * K:3 * K])
+    alpha = 1.0 / (jnp.maximum(s_k, 1e-6) + reg)  # (1, K)
+
+    A0 = A[:, 0:K]  # (3K, K) lane-sliced column blocks
+    A1 = A[:, K:2 * K]
+    A2 = A[:, 2 * K:3 * K]
+    b0 = b_row[:, 0:K]
+    b1 = b_row[:, K:2 * K]
+    b2 = b_row[:, 2 * K:3 * K]
+
+    def matvec(blk, v):  # (3K, K) x (1, K) -> (1, 3K)
+        return jax.lax.dot_general(
+            v, blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    def body(_, lam):
+        ln, ltx, lty = lam
+        g = matvec(A0, ln) + matvec(A1, ltx) + matvec(A2, lty)  # (1, 3K)
+        ln2 = ln - alpha * (g[:, 0:K] + reg * ln + b0)
+        ltx2 = ltx - alpha * (g[:, K:2 * K] + reg * ltx + b1)
+        lty2 = lty - alpha * (g[:, 2 * K:3 * K] + reg * lty + b2)
+        # friction-cone projection
+        tn = jnp.sqrt(ltx2 * ltx2 + lty2 * lty2)
+        inside = tn <= mu * ln2
+        below = mu * tn <= -ln2
+        scale = jnp.maximum(mu * tn + ln2, 0.0) / (mu * mu + 1.0)
+        inv_tn = 1.0 / jnp.maximum(tn, 1e-9)
+        ln3 = jnp.where(inside, ln2, jnp.where(below, 0.0, scale))
+        fsc = jnp.where(inside, 1.0, jnp.where(below, 0.0,
+                                               mu * scale * inv_tn))
+        on = act > 0.0
+        return (jnp.where(on, ln3, 0.0),
+                jnp.where(on, ltx2 * fsc, 0.0),
+                jnp.where(on, lty2 * fsc, 0.0))
+
+    zK = jnp.zeros((1, K), dtype=f32)
+    ln, ltx, lty = jax.lax.fori_loop(0, iterations, body, (zK, zK, zK))
+
+    W0 = WT[:, 0:K]  # (D, K) blocks
+    W1 = WT[:, K:2 * K]
+    W2 = WT[:, 2 * K:3 * K]
+
+    def dvec(blk, v):  # (D, K) x (1, K) -> (1, D)
+        return jax.lax.dot_general(
+            v, blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    dqd_row = dvec(W0, ln) + dvec(W1, ltx) + dvec(W2, lty)
+    return ln, ltx, lty, dqd_row
+
+
+def _fused_kernel(jrt_ref, minv_ref, xb_ref, yb_ref, vec_ref, veck_ref,
+                  lam_ref, dqd_ref, *, E, K, D, iterations, reg):
+    for e in range(E):  # static unroll over the env block
+        ln, ltx, lty, dqd_row = _solve_body(
+            jrt_ref[e], minv_ref[e], xb_ref[e], yb_ref[e], vec_ref[e],
+            veck_ref[e], K=K, D=D, iterations=iterations, reg=reg)
+        lam_ref[e, 0:1, :] = ln
+        lam_ref[e, 1:2, :] = ltx
+        lam_ref[e, 2:3, :] = lty
+        dqd_ref[e:e + 1, :] = dqd_row
+
+
+def _reference_single(JrT, Minv, Xb, Yb, vec, veck, *, K, D, iterations, reg):
+    """Pure-jnp per-env path (CPU / off-TPU fallback). Same algorithm."""
+    ln, ltx, lty, dqd_row = _solve_body(
+        JrT, Minv, Xb, Yb, vec, veck, K=K, D=D, iterations=iterations,
+        reg=reg)
+    lam3 = jnp.stack([ln[0], ltx[0], lty[0]])  # (3, K)
+    return lam3, dqd_row[0]
+
+
+def _factored_single(JrT, Minv, Xb, Yb, vec, veck, *, K, D, iterations, reg):
+    """Factored-matvec iteration (per env; vmapped by the caller — stays
+    fully batched-wide in XLA).
+
+    A lam = WT^T (JrT lam) + Xb^T (Yb lam): the batched (N, 3K, 3K)
+    Delassus is materialized ONCE for the row-sum preconditioner and never
+    re-read — per-iteration HBM traffic drops from A (83 KB/env) to the
+    factors (~26 KB/env), removing the measured 6.7 ms QP `while` +
+    6.5 ms row-sum re-reads per substep (v5e, 2048 envs)."""
+    f32 = jnp.float32
+    WT = jax.lax.dot_general(  # (D, 3K)
+        Minv, JrT, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    # A materialized once, only for the preconditioner
+    A = jax.lax.dot_general(
+        JrT, WT, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    A = A + jax.lax.dot_general(
+        Xb, Yb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    b = vec[0]  # (3K,)
+    act3 = vec[1]
+    mu = veck[0]  # (K,)
+    act = veck[1]
+    s = jax.lax.dot_general(  # s[i] = sum_j |A_ij| act[j] (A symmetric)
+        act3, jnp.abs(A), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)  # (3K,)
+    s_k = jnp.maximum(jnp.maximum(s[0:K], s[K:2 * K]), s[2 * K:3 * K])
+    alpha = 1.0 / (jnp.maximum(s_k, 1e-6) + reg)
+    alpha3 = jnp.tile(alpha, 3)
+
+    def body(_, lam):
+        v1 = JrT @ lam  # (D,)
+        v2 = Yb @ lam  # (RB,)
+        g = v1 @ WT + v2 @ Xb + reg * lam + b  # (3K,)
+        lam2 = lam - alpha3 * g
+        ln = lam2[0:K]
+        ltx = lam2[K:2 * K]
+        lty = lam2[2 * K:3 * K]
+        tn = jnp.sqrt(ltx * ltx + lty * lty)
+        inside = tn <= mu * ln
+        below = mu * tn <= -ln
+        scale = jnp.maximum(mu * tn + ln, 0.0) / (mu * mu + 1.0)
+        inv_tn = 1.0 / jnp.maximum(tn, 1e-9)
+        ln2 = jnp.where(inside, ln, jnp.where(below, 0.0, scale))
+        fsc = jnp.where(inside, 1.0, jnp.where(below, 0.0,
+                                               mu * scale * inv_tn))
+        on = act > 0.0
+        return jnp.concatenate([
+            jnp.where(on, ln2, 0.0),
+            jnp.where(on, ltx * fsc, 0.0),
+            jnp.where(on, lty * fsc, 0.0),
+        ])
+
+    lam = jax.lax.fori_loop(0, iterations, body,
+                            jnp.zeros(3 * K, dtype=f32))
+    dqd = WT @ lam  # (D,)
+    lam3 = jnp.stack([lam[0:K], lam[K:2 * K], lam[2 * K:3 * K]])
+    return lam3, dqd
+
+
+def _batched_pallas(JrT, Minv, Xb, Yb, vec, veck, *, K, D, iterations, reg,
+                    env_block, interpret=False):
+    N = JrT.shape[0]
+    E = env_block
+    pad = (-N) % E
+    if pad:
+        JrT, Minv, Xb, Yb, vec, veck = (
+            jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+            for x in (JrT, Minv, Xb, Yb, vec, veck))
+    NP = N + pad
+    RB = Xb.shape[1]
+
+    def idx(i):
+        return (i, 0, 0)
+
+    kernel = functools.partial(
+        _fused_kernel, E=E, K=K, D=D, iterations=iterations, reg=reg)
+    lam, dqd = pl.pallas_call(
+        kernel,
+        grid=(NP // E,),
+        in_specs=[
+            pl.BlockSpec((E, D, 3 * K), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, D, D), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, RB, 3 * K), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, RB, 3 * K), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 8, 3 * K), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 8, K), idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((E, 3, K), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NP, 3, K), jnp.float32),
+            jax.ShapeDtypeStruct((NP, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(JrT, Minv, Xb, Yb, vec, veck)
+    return lam[:N], dqd[:N]
+
+
+def make_fused_solver(K: int, D: int, iterations: int, reg: float,
+                      env_block: int = 8, interpret: bool = False,
+                      mode: str = "factored"):
+    """Returns a per-env callable `(JrT, Minv, Xb, Yb, vec, veck) ->
+    (lam3 (3, K), dqd (D,))`.
+
+    mode:
+      "factored" — factored-matvec iteration, plain XLA (vmap batches it);
+                   the default TPU path (measured fastest: stays batched-
+                   wide on the MXU, A never re-read).
+      "pallas"   — multi-env-blocked Pallas kernel holding A in VMEM
+                   (kept for experimentation: the grid serializes env
+                   blocks on the single TensorCore, so its tiny per-env
+                   matvecs only break even at current scene sizes).
+    """
+    if mode == "factored":
+        return functools.partial(
+            _factored_single, K=K, D=D, iterations=iterations, reg=reg)
+
+    def ref(JrT, Minv, Xb, Yb, vec, veck):
+        return _reference_single(
+            JrT, Minv, Xb, Yb, vec, veck, K=K, D=D, iterations=iterations,
+            reg=reg)
+
+    if not _HAVE_PALLAS:
+        return ref
+
+    # Mosaic block rule: the sublane dim of a strict sub-block must be a
+    # multiple of 8 — round the env block up
+    env_block = max(8, ((env_block + 7) // 8) * 8)
+
+    @jax.custom_batching.custom_vmap
+    def solve(JrT, Minv, Xb, Yb, vec, veck):
+        return ref(JrT, Minv, Xb, Yb, vec, veck)
+
+    @solve.def_vmap
+    def _vmap_rule(axis_size, in_batched, JrT, Minv, Xb, Yb, vec, veck):
+        assert all(in_batched), "fused contact solver expects batched args"
+        lam3, dqd = _batched_pallas(
+            JrT, Minv, Xb, Yb, vec, veck,
+            K=K, D=D, iterations=iterations, reg=reg,
+            env_block=env_block, interpret=interpret)
+        return (lam3, dqd), (True, True)
+
+    return solve

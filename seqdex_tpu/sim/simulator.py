@@ -64,6 +64,9 @@ class SimState(NamedTuple):
     # factorization serializes on TPU (measured 6.4 ms at 2048 envs vs
     # <0.5 ms for the NS matmuls)
     minv: jnp.ndarray = None  # (D, D)
+    # per-env runtime geometry/mass overrides (contact.GeomTables) — the
+    # multi-type target-brick mechanism; None = use the compiled statics
+    geom: object = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,8 +86,13 @@ class SimConfig:
     stiffness: tuple = ()
     damping: tuple = ()
     effort: tuple = ()
-    # use the Pallas QP-iteration kernel (auto: on real TPU backends only)
+    # use the optimized contact-solver path (None = auto: TPU backends only)
     use_pallas: object = None
+    # "factored" (default: factored-matvec XLA iteration, A never re-read)
+    # or "pallas" (experimental VMEM-resident kernel)
+    contact_solver_mode: str = "factored"
+    # envs per Pallas program (VMEM working set ~ env_block * (3K)^2 * 4 B)
+    pallas_env_block: int = 8
     # links whose net contact-force magnitude the env consumes (FSR pads +
     # arm links). Empty = accumulate for ALL links; a short tuple turns the
     # (L, K) one-hot accumulation into a (len, K) one + scatter — the envs
@@ -159,7 +167,32 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
     # program grid underutilizes the MXU vs XLA's batched matvec (252 vs
     # 204 ms/step); the kernel pays off only once narrowphase+assembly+solve
     # are fused with multi-env blocking — tracked for the kernels/ roadmap.
-    use_pallas = bool(config.use_pallas) if config.use_pallas is not None else False
+    # Fused contact kernel (kernels/fused_contact.py): assembles the Delassus
+    # matrix in VMEM and runs all QP iterations on-chip, multi-env blocked.
+    # auto (None) = enabled on TPU backends; the measured XLA path spends
+    # ~half the substep materializing + re-reading the batched (3K, 3K) A
+    # from HBM (v5e trace, 2048 envs: while-loop 6.7 ms + row-sum 6.5 ms +
+    # assembly fusions ~5 ms of a 35 ms substep).
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        plat = "cpu"
+    on_tpu = plat in ("tpu", "axon")
+    use_pallas = on_tpu if config.use_pallas is None else bool(config.use_pallas)
+    if B > 8 and config.use_pallas is None:
+        # the factored body-coupling assembly carries 6*B rows per env —
+        # for heap-scale scenes (Search: B = 132) the XLA path stays cheaper
+        use_pallas = False
+    if use_pallas:
+        from .kernels.fused_contact import make_fused_solver
+
+        fused_solver = make_fused_solver(
+            config.max_contacts, D, config.solver_iterations,
+            reg=config.compliance, env_block=config.pallas_env_block,
+            interpret=not on_tpu,  # CPU: interpreter mode (tests)
+            mode=config.contact_solver_mode)
+    else:
+        fused_solver = None
 
     def _mt_of(M, kp_e, kd_e):
         return M + jnp.diag(h * (kd_e + joint_damping) + h * h * kp_e)
@@ -238,20 +271,27 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
         qd_free = Minv @ rhs
 
         # free bodies: gravity + gyroscopic (DR gravity offset / mass scale)
+        # (per-env runtime overrides when `state.geom` is set — multi-type)
+        inv_mass_e = inv_mass_b if state.geom is None else state.geom.inv_mass
+        inertia_e = inertia_b if state.geom is None else state.geom.inertia
+        inv_inertia_e = (inv_inertia_b if state.geom is None
+                         else state.geom.inv_inertia)
         g_eff = g + state.gravity_offset
-        grav = jnp.where(body_kinematic[:, None] | (inv_mass_b == 0.0)[:, None], 0.0,
+        grav = jnp.where(body_kinematic[:, None] | (inv_mass_e == 0.0)[:, None], 0.0,
                          jnp.broadcast_to(g_eff, (B, 3)))
         v_free = state.body_linvel + h * grav
         R = quat_to_matrix(state.body_quat)  # (B, 3, 3)
-        Iw = jnp.einsum("bij,bjk,blk->bil", R, inertia_b, R)
-        Iw_inv = jnp.einsum("bij,bjk,blk->bil", R, inv_inertia_b, R)
+        Iw = jnp.einsum("bij,bjk,blk->bil", R, inertia_e, R)
+        Iw_inv = jnp.einsum("bij,bjk,blk->bil", R, inv_inertia_e, R)
         gyro = jnp.cross(state.body_angvel, jnp.einsum("bij,bj->bi", Iw, state.body_angvel))
         w_free = state.body_angvel - h * jnp.einsum("bij,bj->bi", Iw_inv, gyro)
         w_free = jnp.clip(w_free, -config.max_angvel, config.max_angvel)
 
         # contacts (narrowphase precompacts all static per-point/per-collider
-        # solver tables to the K winners — no index gathers below)
-        contacts = narrowphase(fk_res.pos, fk_res.quat, state.body_pos, state.body_quat)
+        # solver tables to the K winners — no index gathers below);
+        # state.geom carries the per-env multi-type brick overrides
+        contacts = narrowphase(fk_res.pos, fk_res.quat, state.body_pos,
+                               state.body_quat, state.geom)
         contacts = contacts._replace(friction=contacts.friction * state.mu_scale)
         # robot jacobian rows: (point side) minus (collider side); zero anc
         # rows already encode "not robot-owned"
@@ -263,9 +303,9 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
         body_of_pt = contacts.body_pt
         body_of_col = contacts.body_col
         if B > 0:
-            com_w = state.body_pos + quat_apply(
-                state.body_quat, jnp.asarray(scene.body_com, dtype=jnp.float32)
-            )
+            com_b = (jnp.asarray(scene.body_com, dtype=jnp.float32)
+                     if state.geom is None else state.geom.com)
+            com_w = state.body_pos + quat_apply(state.body_quat, com_b)
             cw_pt = com_w[jnp.clip(body_of_pt, 0, B - 1)]  # (K, 3) tiny gather
             cw_col = com_w[jnp.clip(body_of_col, 0, B - 1)]
             r_pt = (contacts.px - cw_pt[:, 0], contacts.py - cw_pt[:, 1],
@@ -297,7 +337,7 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             vrz = vrz + on_pt * (vb_pt[:, 2] + wb_pt[:, 0] * rpy - wb_pt[:, 1] * rpx) \
                 - on_col * (vb_col[:, 2] + wb_col[:, 0] * rcy - wb_col[:, 1] * rcx)
 
-        inv_mass_eff = inv_mass_b / state.mass_scale
+        inv_mass_eff = inv_mass_e / state.mass_scale
         sol = solve_contact_qp(
             contacts,
             (Jx, Jy, Jz),
@@ -312,7 +352,7 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             compliance=config.compliance,
             iterations=config.solver_iterations,
             max_depenetration_vel=config.max_depenetration_vel,
-            use_pallas=use_pallas,
+            fused_solver=fused_solver,
         )
 
         qd_new = qd_free + sol.dqd
