@@ -134,6 +134,9 @@ def train(args):
                 elapsed = time.time() - t_start
                 m["env_steps_per_sec"] = (
                     steps_per_epoch * (epoch + 1 - start_epoch) / elapsed)
+                if env.post_epoch_hook is not None:
+                    # env-specific side training (TSTAR online T-value)
+                    m.update(env.post_epoch_hook(ts.params, epoch))
                 writer.write(epoch, m)
                 print(
                     f"epoch {epoch} reward {m['reward_mean']:.4f} "

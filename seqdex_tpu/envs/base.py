@@ -71,6 +71,12 @@ class Env:
     init_ctx: Callable = None  # () -> ctx pytree
     reset_ctx: Callable = None  # (key, ctx) -> TaskState
     step_ctx: Callable = None  # (TaskState, action, ctx) -> (TaskState, StepOutput)
+    # optional training-loop side channel: called by the CLI trainer every
+    # log interval with the current policy params; returns extra metrics.
+    # Used by ToolPositioningChainTSTAR to train its ONLINE T-value (the
+    # reference trains it inside pre_physics_step probe rollouts,
+    # `..._chain_tstar.py:451-469,1666-1735`).
+    post_epoch_hook: Callable = None  # (policy_params, epoch) -> dict
 
 
 def select_tree(pred, a, b):

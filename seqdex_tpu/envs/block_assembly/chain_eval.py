@@ -55,6 +55,10 @@ _TARGET_EULER = (0.0, 3.1415, 1.571)
 # `gui.py:2755-2775`), so the episode length is a cap, not a schedule.
 PHASE_LEN = (140, 120, 175, 100)  # dig, spin, grasp, insert
 MAX_RETRIES = 2  # per phase, mirroring the GUI retry-until-success loops
+# scripted pre-grasp window at the head of the grasp phase during which
+# hand<->target collisions are filtered off (the GUI sets filter=1 on both
+# actors for the descent, `gui.py:2154-2155`, restoring at `:2229`)
+PREGRASP_STEPS = 20
 EPISODE_LENGTH = 535 + 300  # schedule + retry allowance
 
 OBS_DIMS = {"dig": 65, "spin": 62, "grasp": 132, "insert": 75}
@@ -292,6 +296,10 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
             body_pos=body_pos, body_quat=body_quat,
             body_linvel=jnp.zeros_like(s.body_linvel),
             body_angvel=jnp.zeros_like(s.body_angvel),
+            # runtime per-phase collision-filter words (0 robot, 1..B
+            # bodies, B+1 statics) — all-collide at reset
+            collision_filter=jnp.zeros(s.body_pos.shape[0] + 2,
+                                       dtype=jnp.int32),
         )
         state = ChainTaskState(
             sim=s, key=k3, progress=jnp.int32(0), reset_flag=jnp.bool_(False),
@@ -339,7 +347,20 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
         targets = jnp.clip(
             jnp.concatenate([s.q[:7] + delta, fingers]), lower, upper
         )
-        s = s._replace(ctrl=targets)
+        # ---- per-phase collision-filter + DOF drive switching
+        # (`gui.py:3074-3092`): during the pre-grasp descent window the hand
+        # and the target brick carry filter word 1 (their pairs AND to
+        # nonzero -> no contact, so the scripted descent can't knock the
+        # oriented brick over, `gui.py:2154-2229`); the spin phase raises
+        # the hand drive stiffness 50 -> 70 (`set_dof_effort(..., 5, 70)`,
+        # `gui.py:2050`)
+        in_pregrasp = (phase == 2) & (state.phase_timer < PREGRASP_STEPS)
+        w = jnp.where(in_pregrasp, 1, 0)
+        words = jnp.zeros(s.body_pos.shape[0] + 2, dtype=jnp.int32)
+        words = words.at[0].set(w).at[1 + tb].set(w)
+        kp_sc = jnp.ones(D, dtype=jnp.float32).at[7:23].set(
+            jnp.where(phase == 1, 70.0 / 50.0, 1.0))
+        s = s._replace(ctrl=targets, collision_filter=words, kp_scale=kp_sc)
         s = sim.step(s, fk0=fk_res)
         prog = prog + 1
         state = state._replace(sim=s, progress=prog, prev_targets=targets, actions=action)

@@ -85,6 +85,10 @@ class GraspSimConfig:
     # `envs/randomization.py`): physical scales sampled per reset into the
     # SimState DR fields
     randomize: bool = False
+    # z-align-gated lift reward + terminal success bonus (divergence from
+    # the reference's bare dist+lift, which decouples reward from the
+    # success predicate — the round-2 success-collapse mechanism)
+    align_gated_reward: bool = True
 
 
 class GraspTaskState(NamedTuple):
@@ -494,6 +498,15 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         lift = tgt_pos[2] - state.target_init_pos[2]
         up_rew = jnp.clip(lift, 0.0, 0.2) * 100.0
         up_rew = jnp.clip(jnp.where(finger_dist < 0.5, up_rew, 0.0), None, 20.0)
+        # Deliberate divergence from the reference's bare dist+lift sum
+        # (`..._grasp_sim.py:1751`): round-2 training collapsed (21% -> 10%
+        # success while reward climbed) because lifting a TIPPED brick pays
+        # fully yet fails the z-align success predicate. Gate the lift term
+        # by alignment and pay a terminal success bonus so the optimum of
+        # the reward is the optimum of the success metric.
+        if cfg.align_gated_reward:
+            align_gate = jnp.clip(lego_z_align, 0.0, 1.0)
+            up_rew = up_rew * (0.25 + 0.75 * align_gate)
         reward = dist_rew + up_rew
 
         timed_out = prog >= cfg.episode_length - 1
@@ -501,6 +514,8 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         done = timed_out | slipped
         # timeout penalty (0.5 * fall_penalty, fall_penalty = 0 in cfg)
         success = jnp.where((lift > 0.1) & (lego_z_align > 0.6), 1.0, 0.0)
+        if cfg.align_gated_reward:
+            reward = reward + 5.0 * success
 
         # terminal-state handoff + T-value gating (`..._grasp_sim.py:1399-1458`):
         # a grasp terminal is save-worthy when the episode ends held (not

@@ -50,6 +50,9 @@ NUM_ACTIONS = 23
 @dataclasses.dataclass(frozen=True)
 class InsertSimConfig:
     episode_length: int = 125
+    # domain-randomization engine (base_task.py:229-423 schema): physical
+    # scales sampled per reset into the SimState DR fields
+    randomize: bool = False
     action_moving_average: float = 1.0
     vel_obs_scale: float = 0.2
     # "all" = reference multi-type scene (runtime brick geometry for both the
@@ -177,6 +180,10 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
     def _reset_sim(key, ctx):
         k1, k2, k3, kt = jax.random.split(key, 4)
         s = sim.init_state(hold_q)
+        if cfg.randomize:
+            from ...envs.randomization import randomize_sim_state
+
+            s = randomize_sim_state(s, jax.random.fold_in(k3, 7), D)
         if multi:
             t = jax.random.randint(kt, (), 0, num_types)
             s = s._replace(geom=multitype.geom_for_type(type_tables, t))

@@ -54,6 +54,9 @@ _TARGET_EULER = (0.0, 3.1415, 1.571)
 @dataclasses.dataclass(frozen=True)
 class OrientConfig:
     episode_length: int = 75
+    # domain-randomization engine (base_task.py:229-423 schema): physical
+    # scales sampled per reset into the SimState DR fields
+    randomize: bool = False
     action_moving_average: float = 1.0
     vel_obs_scale: float = 0.2
     # "all" = reference multi-type scene (runtime brick geometry, see
@@ -192,6 +195,10 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
             jnp.asarray(builders.DEFAULT_ARM_QPOS, dtype=jnp.float32)
         ).at[7:23].set(reset_fingers)
         s = sim.init_state(reset_q0)
+        if cfg.randomize:
+            from ...envs.randomization import randomize_sim_state
+
+            s = randomize_sim_state(s, jax.random.fold_in(k3, 7), D)
         if multi:
             t = jax.random.randint(kt, (), 0, num_types)
             s = s._replace(geom=multitype.geom_for_type(type_tables, t))

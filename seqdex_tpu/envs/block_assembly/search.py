@@ -76,6 +76,9 @@ _SEG_SUCCESS_THRESHOLD = (20.0, 20.0, 15.0, 20.0, 20.0, 30.0, 30.0, 20.0)
 @dataclasses.dataclass(frozen=True)
 class SearchConfig:
     episode_length: int = 75
+    # domain-randomization engine (base_task.py:229-423 schema): physical
+    # scales sampled per reset into the SimState DR fields
+    randomize: bool = False
     action_moving_average: float = 1.0
     vel_obs_scale: float = 0.2
     heap_bricks: int = 132  # reference heap size (`search.py:735-742`)
@@ -248,8 +251,12 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
         return rot
 
     def _reset_sim(key):
-        k1, k2 = jax.random.split(key)
+        k1, k2, kdr = jax.random.split(key, 3)
         s = sim.init_state(default_q)
+        if cfg.randomize:
+            from ...envs.randomization import randomize_sim_state
+
+            s = randomize_sim_state(s, kdr, D)
         h = jax.random.randint(k1, (), 0, cfg.heap_pool)
         target = jax.random.randint(k2, (), 0, B)
         s = s._replace(

@@ -109,6 +109,23 @@ def sample_factors(
     )
 
 
+def randomize_sim_state(s, key, ndof: int, step=1e6,
+                        params: Optional[RandomizationParams] = None):
+    """Sample physical DR factors into a SimState's per-env fields — the
+    uniform per-reset hook every task env calls when `cfg.randomize` is set
+    (the reference applies its schema to every task yaml,
+    `base_task.py:229-423`)."""
+    params = params or RandomizationParams()
+    f = sample_factors(params, key, jnp.float32(step), 1, 1, ndof)
+    return s._replace(
+        kp_scale=f.kp_scale,
+        kd_scale=f.kd_scale,
+        mu_scale=f.friction_scale,
+        mass_scale=f.mass_scale,
+        gravity_offset=f.gravity_offset,
+    )
+
+
 def apply_obs_noise(params: RandomizationParams, key, step, obs, factors: RandFactors):
     white = params.observations.draw(key, obs.shape, step)
     return obs + white + factors.obs_noise_corr

@@ -67,11 +67,19 @@ def _populate():
     # ours-full: perturbations + ContactSLAMer belief-state obs
     # (`..._chain.py:1441-1454`)
     _REGISTRY.setdefault("ToolPositioningChain", lambda **kw: make_tool_chain_env(**kw))
-    # T* baseline: privileged chain env + ONLINE T-value probe training —
-    # drive with `seqdex_tpu.seqdex.tstar.train_tool_chain_tstar`
-    # (`..._chain_tstar.py:451-469,1666-1735`)
-    _REGISTRY.setdefault(
-        "ToolPositioningChainTSTAR", lambda **kw: make_tool_chain_pure_rl_env(**kw))
+    def _make_tstar_env(**kw):
+        # T* baseline (`..._chain_tstar.py:451-469,1666-1735`): the
+        # privileged chain env PLUS the online T-value probe trainer wired
+        # as a post_epoch_hook — a normal `--task ToolPositioningChainTSTAR`
+        # CLI run produces a T-value loss/accuracy curve (PureRL does not)
+        import dataclasses as _dc
+
+        from ..seqdex import tstar as tstarlib
+
+        env = make_tool_chain_pure_rl_env(**kw)
+        return _dc.replace(env, post_epoch_hook=tstarlib.make_online_hook(env))
+
+    _REGISTRY.setdefault("ToolPositioningChainTSTAR", _make_tstar_env)
     # PureRL baseline: monolithic privileged policy, no belief state
     _REGISTRY.setdefault(
         "ToolPositioningChainPureRL", lambda **kw: make_tool_chain_pure_rl_env(**kw))

@@ -90,6 +90,9 @@ class ToolConfig:
     sine_scale: float = 0.2
     sine_freq: float = 0.5
     grasp_phase_end: int = 60  # chain: grasp window before orient phase
+    # domain-randomization engine (base_task.py:229-423 schema): physical
+    # scales sampled per reset into the SimState DR fields
+    randomize: bool = False
     # ContactSLAMer belief state in the env loop (`..._chain.py:1441-1454`):
     # when enabled, the OBS tool pose slots carry the tactile-MLP pose
     # estimate instead of the privileged sim pose; the true pose stays in the
@@ -155,8 +158,13 @@ def make_tool_env(cfg: ToolConfig = ToolConfig(), slamer_params=None) -> Env:
         )
 
     def _reset_sim(key):
+        key, kdr = jax.random.split(key)
         k1, k2, k3 = jax.random.split(key, 3)
         s = sim.init_state(default_q)
+        if cfg.randomize:
+            from ..randomization import randomize_sim_state
+
+            s = randomize_sim_state(s, kdr, D)
         # tool lying on the table near the work area
         xy = jnp.asarray([0.22, 0.1], dtype=jnp.float32) + 0.03 * (
             jax.random.uniform(k1, (2,)) * 2 - 1

@@ -47,7 +47,13 @@ class PPOConfig:
     mini_epochs: int = 5
     num_minibatches: int = 4
     grad_norm: float = 1.0
-    entropy_coef: float = 0.0
+    # small entropy bonus + a log-std floor: arrests the round-2 policy
+    # collapse (exploration noise shrank until the success rate drifted
+    # down while reward kept climbing); rl_games runs entropy_coef 0 but
+    # its separate sigma parameterization rarely collapses this way
+    entropy_coef: float = 1e-3
+    log_std_min: float = -3.0
+    log_std_max: float = 1.0
     critic_coef: float = 1.0  # used when critic trained jointly
     bounds_loss_coef: float = 0.001
     clip_value: bool = True
@@ -288,6 +294,8 @@ def make_ppo(env: Env, cfg: PPOConfig, axis_name: Optional[str] = None):
                 new_actor, new_log_std = optax.apply_updates(
                     (params.actor, params.log_std), a_updates
                 )
+                new_log_std = jnp.clip(
+                    new_log_std, cfg.log_std_min, cfg.log_std_max)
 
                 c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(
                     params.critic, mb_states_n, mb_returns, mb_old_values

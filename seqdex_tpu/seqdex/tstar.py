@@ -74,6 +74,57 @@ def make_tstar(env, cfg: TStarConfig, tvalue_in_dim: int, tvalue_hidden,
     return init, probe_and_update
 
 
+def make_online_hook(env, num_envs: int = 16,
+                     cfg: TStarConfig = TStarConfig(probe_steps=20,
+                                                    trigger_step=10),
+                     seed: int = 0):
+    """Stateful `Env.post_epoch_hook` for the TSTAR registry task: every
+    invocation rolls fresh envs to the trigger step with the CURRENT policy,
+    probes the frozen successor horizon, and BCE-updates the online T-value
+    — the reference's in-episode probe training
+    (`..._chain_tstar.py:451-469,1666-1735`) relocated to the training
+    loop's epoch boundary (the TPU-native placement: the probe is a scan in
+    its own jitted program instead of a nested sim inside `step`).
+
+    Returns extra metrics (tstar_loss / tstar_success_frac / tstar_acc)
+    merged into the trainer's log — a PureRL run has none of these.
+    """
+    state = {}
+
+    def hook(policy_params, epoch):
+        if not state:
+            init, pu = make_tstar(
+                env, cfg, tvalue_in_dim=23, tvalue_hidden=(256, 128, 64),
+                snapshot_fn=lambda st: st.sim.q[:23],
+                success_fn=lambda st: st.successes,
+            )
+            state["ts"] = init(jax.random.PRNGKey(seed + 1))
+            state["pu"] = jax.jit(pu)
+            state["reset"] = jax.jit(jax.vmap(env.reset))
+            state["step"] = jax.jit(
+                lambda s, obs, p: jax.vmap(env.step)(
+                    s, networks.actor_mu(p, obs)))
+        keys = jax.random.split(jax.random.PRNGKey(seed + 2 + epoch), num_envs)
+        st = state["reset"](keys)
+        obs = st.obs_stack.reshape(num_envs, -1)
+        for _ in range(cfg.trigger_step):
+            st, out = state["step"](st, obs, policy_params)
+            obs = out.obs
+        state["ts"], m = state["pu"](state["ts"], st, policy_params)
+        snap = jax.vmap(lambda s: s.sim.q[:23])(st)
+        conf = tvlib.tvalue_confidence(state["ts"].params, snap)
+        acc = jnp.mean((conf > 0.5) == (jax.vmap(
+            lambda s: s.successes)(st) > 0.5))
+        return {
+            "tstar_loss": float(m["loss"]),
+            "tstar_success_frac": float(m["success_frac"]),
+            "tstar_acc": float(acc),
+        }
+
+    hook.state = state  # exposes the trained T-value (state["ts"].params)
+    return hook
+
+
 def train_tool_chain_tstar(
     num_envs: int = 32,
     rounds: int = 10,

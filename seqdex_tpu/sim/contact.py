@@ -206,7 +206,37 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
                       jnp.where(kind == OWNER_LINK, q_link, q_body))
         return p, q
 
-    def narrowphase(fk_pos, fk_quat, body_pos, body_quat, geom=None) -> ContactSet:
+    # entity index per point / collider for runtime collision-filter words:
+    # 0 = robot links, 1..B = bodies, B+1 = statics
+    _pt_entity = jnp.asarray(np.where(
+        pt_owner_kind == OWNER_LINK, 0,
+        np.where(pt_owner_kind == OWNER_BODY, pt_owner + 1, B + 1)
+    ).astype(np.int32))
+    _col_entity = jnp.asarray(np.where(
+        np.asarray(scene.col_owner_kind) == OWNER_LINK, 0,
+        np.where(np.asarray(scene.col_owner_kind) == OWNER_BODY,
+                 np.asarray(scene.col_owner) + 1, B + 1)
+    ).astype(np.int32))
+
+    # combined per-point / per-collider STATIC gather tables: ONE row
+    # gather per side instead of ~6 (each gather fusion measured ~0.8 ms
+    # per substep at 2048 envs — the dominant narrowphase cost after the
+    # factored solver). Integer ids are float-encoded (exact in fp32).
+    _staticP = jnp.concatenate([
+        pt_radius[:, None], pt_friction[:, None],
+        body_of_pt_byP[:, None].astype(jnp.float32),
+        link_of_pt_byP[:, None].astype(jnp.float32),
+        anc_byP,
+    ], axis=1)  # (P, 4 + D)
+    _staticC = jnp.concatenate([
+        col_friction[:, None], is_box_c[:, None], is_sphere_c[:, None],
+        body_of_col_byC[:, None].astype(jnp.float32),
+        link_of_col_byC[:, None].astype(jnp.float32),
+        anc_byC,
+    ], axis=1)  # (C, 5 + D)
+
+    def narrowphase(fk_pos, fk_quat, body_pos, body_quat, geom=None,
+                    collision_filter=None) -> ContactSet:
         csize = col_size if geom is None else geom.col_size
         pw = point_world(fk_pos, fk_quat, body_pos, body_quat, geom)  # (P, 3)
         cp, cq = collider_world(fk_pos, fk_quat, body_pos, body_quat, geom)
@@ -241,6 +271,12 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
 
         depth = pt_radius[None, :] - sdf  # (C, P)
         depth = jnp.where(pair_mask_T, depth, -1e9)
+        if collision_filter is not None:
+            # PhysX-style filter words: pair collides iff words AND to zero
+            wp = collision_filter[_pt_entity]  # (P,)
+            wc = collision_filter[_col_entity]  # (C,)
+            gate = (wc[:, None] & wp[None, :]) == 0  # (C, P)
+            depth = jnp.where(gate, depth, -1e9)
 
         # per-point best-2 colliders (reduce over the C axis), then top-K over
         # 2P candidates — no full sort of the P*C grid. A point in deep
@@ -258,18 +294,28 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
         cidx = cand_col[top_i]
 
         # ---- per-contact stage: K-sized recomputation from tiny tables ----
-        # point side (static tables + runtime pw rows)
+        # point side: ONE static-table gather + the runtime pw rows
+        gP = _staticP[pidx]  # (K, 4 + D)
         pw_k = pw[pidx]  # (K, 3) row gather
         kx, ky, kz = pw_k[:, 0], pw_k[:, 1], pw_k[:, 2]
-        r_k = pt_radius[pidx]
-        mu_pt = pt_friction[pidx]
-        # collider side (runtime pose rows + static tables)
-        cp_k = cp[cidx]
-        cq_k = cq[cidx]  # (K, 4) xyzw
-        sz_k = csize[cidx]
-        mu_col = col_friction[cidx]
-        boxf = is_box_c[cidx]
-        sphf = is_sphere_c[cidx]
+        r_k = gP[:, 0]
+        mu_pt = gP[:, 1]
+        body_pt_k = gP[:, 2].astype(jnp.int32)
+        link_pt_k = gP[:, 3].astype(jnp.int32)
+        anc_pt_k = gP[:, 4:]
+        # collider side: ONE runtime gather (pose + size) + ONE static
+        runtimeC = jnp.concatenate([cp, cq, csize], axis=1)  # (C, 10)
+        gC = runtimeC[cidx]
+        gSC = _staticC[cidx]  # (K, 5 + D)
+        cp_k = gC[:, 0:3]
+        cq_k = gC[:, 3:7]  # (K, 4) xyzw
+        sz_k = gC[:, 7:10]
+        mu_col = gSC[:, 0]
+        boxf = gSC[:, 1]
+        sphf = gSC[:, 2]
+        body_col_k = gSC[:, 3].astype(jnp.int32)
+        link_col_k = gSC[:, 4].astype(jnp.int32)
+        anc_col_k = gSC[:, 5:]
 
         # rotation-matrix entries from the quaternion, componentwise
         qx_, qy_, qz_, qw_ = cq_k[:, 0], cq_k[:, 1], cq_k[:, 2], cq_k[:, 3]
@@ -337,12 +383,12 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
             friction=mu,
             pt_idx=pidx,
             col_idx=cidx,
-            anc_pt=anc_byP[pidx],
-            anc_col=anc_byC[cidx],
-            body_pt=body_of_pt_byP[pidx],
-            body_col=body_of_col_byC[cidx],
-            link_pt=link_of_pt_byP[pidx],
-            link_col=link_of_col_byC[cidx],
+            anc_pt=anc_pt_k,
+            anc_col=anc_col_k,
+            body_pt=body_pt_k,
+            body_col=body_col_k,
+            link_pt=link_pt_k,
+            link_col=link_col_k,
         )
 
     return narrowphase, point_world

@@ -67,6 +67,14 @@ class SimState(NamedTuple):
     # per-env runtime geometry/mass overrides (contact.GeomTables) — the
     # multi-type target-brick mechanism; None = use the compiled statics
     geom: object = None
+    # per-env entity collision-filter words (n_entities = 1 robot + B bodies
+    # + 1 statics): a point-collider pair collides iff
+    # (word[entity_pt] & word[entity_col]) == 0 — PhysX filter semantics
+    # (`gui.py:3074-3079` per-phase switching); None = all collide
+    collision_filter: jnp.ndarray = None
+    # per-env DOF effort/stiffness scaling (`gui.py:3080-3086` per-phase
+    # set_dof_effort); None = 1
+    effort_scale: jnp.ndarray = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -251,7 +259,9 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
         # implicit PD (see module docstring); DR scales on drive gains
         kp_e = kp * state.kp_scale
         kd_e = kd * state.kd_scale
-        tau_spring = jnp.clip(kp_e * (state.ctrl - state.q), -effort, effort)
+        eff_e = (effort if state.effort_scale is None
+                 else effort * state.effort_scale)
+        tau_spring = jnp.clip(kp_e * (state.ctrl - state.q), -eff_e, eff_e)
         Mt = _mt_of(M, kp_e, kd_e)
         if config.minv_exact or state.minv is None:
             # dense inverse via Cholesky: exact but the batched 23x23
@@ -291,7 +301,8 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
         # solver tables to the K winners — no index gathers below);
         # state.geom carries the per-env multi-type brick overrides
         contacts = narrowphase(fk_res.pos, fk_res.quat, state.body_pos,
-                               state.body_quat, state.geom)
+                               state.body_quat, state.geom,
+                               state.collision_filter)
         contacts = contacts._replace(friction=contacts.friction * state.mu_scale)
         # robot jacobian rows: (point side) minus (collider side); zero anc
         # rows already encode "not robot-owned"

@@ -468,3 +468,25 @@ def test_insert_resets_from_grasp_reservoir():
     assert abs(float(state.sim.q[0]) - (-0.5)) < 1e-5
     np.testing.assert_allclose(
         np.asarray(state.sim.body_pos[0]), [0.2, -0.1, 0.8], atol=1e-5)
+
+
+@pytest.mark.slow  # full-scene tool env compile
+def test_tstar_registry_task_trains_online_tvalue():
+    """`registry.make("ToolPositioningChainTSTAR")` must carry the online
+    T-value trainer (post_epoch_hook) so a normal CLI run produces a
+    tstar accuracy curve — the PureRL task must NOT have one."""
+    from seqdex_tpu.envs import registry
+    from seqdex_tpu.rl import networks
+
+    env = registry.make("ToolPositioningChainTSTAR",
+                        max_contacts=8, solver_iterations=2, substeps=1)
+    assert env.post_epoch_hook is not None
+    env_prl = registry.make("ToolPositioningChainPureRL",
+                            max_contacts=8, solver_iterations=2, substeps=1)
+    assert env_prl.post_epoch_hook is None
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(0), env.num_obs, env.num_states, env.num_actions)
+    m = env.post_epoch_hook(params, 0)
+    assert {"tstar_loss", "tstar_success_frac", "tstar_acc"} <= set(m)
+    m2 = env.post_epoch_hook(params, 1)
+    assert np.isfinite(m2["tstar_loss"])
