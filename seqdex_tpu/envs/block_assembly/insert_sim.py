@@ -68,6 +68,15 @@ class InsertSimConfig:
     # 156-dim x 3-stacked obs protocol (`insert.py:172-187,1221-1246`) instead
     # of InsertSim's 75 x 1
     real_obs: bool = False
+    # T-value input protocol: "rot" = 4-dim camera-frame rotation (the
+    # offline trainer's default), "pos_rot" = 7-dim pos+rot — the env's own
+    # online-trainable GraspInsertTValue(input_dim=7)
+    # (`..._insert_sim.py:391-399`), "temporal" = 62x10 stacked-obs variant
+    # (`:462-463`)
+    tvalue_input: str = "rot"
+    # online T-value trainer wired as Env.post_epoch_hook (the reference's
+    # in-env `train_t_value` path, `..._insert_sim.py:391,398-399`)
+    train_t_value: bool = False
 
 
 class InsertTaskState(NamedTuple):
@@ -83,6 +92,8 @@ class InsertTaskState(NamedTuple):
     successes: jnp.ndarray
     actions: jnp.ndarray
     init_cam_rot: jnp.ndarray  # (4,) camera-frame block rot at reset (T-value input)
+    init_cam_pos: jnp.ndarray  # (3,) camera-frame block pos at reset ("pos_rot")
+    tvalue_buf: jnp.ndarray  # (10, 62) temporal T-value obs ("temporal") or (1, 1)
     lego_type: jnp.ndarray  # i32 scalar
 
 
@@ -326,14 +337,17 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
             fk_res.quat[mount], fk_res.pos[mount], cam_offset_quat, cam_offset_pos
         )
         qc_inv, pc_inv = tf_inverse(q_cam, p_cam)
-        cam_tgt_rot, _ = tf_combine(qc_inv, pc_inv, tgt_rot, tgt_pos)
-        return cam_tgt_rot
+        cam_tgt_rot, cam_tgt_pos = tf_combine(qc_inv, pc_inv, tgt_rot, tgt_pos)
+        return cam_tgt_rot, cam_tgt_pos
+
+    _TVBUF_SHAPE = (10, 62) if cfg.tvalue_input == "temporal" else (1, 1)
 
     def reset_ctx(key, ctx) -> InsertTaskState:
         k0, k1 = jax.random.split(key)
         s, tgt, sq, t = _reset_sim(k0, ctx)
         fk0 = sim.fk(s.q, s.qd)
-        init_cam_rot = _cam_rot(fk0, s.body_quat[target_body], s.body_pos[target_body])
+        init_cam_rot, init_cam_pos = _cam_rot(
+            fk0, s.body_quat[target_body], s.body_pos[target_body])
         state = InsertTaskState(
             sim=s,
             key=k1,
@@ -347,6 +361,8 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
             successes=jnp.float32(0.0),
             actions=jnp.zeros(NUM_ACTIONS, dtype=jnp.float32),
             init_cam_rot=init_cam_rot,
+            init_cam_pos=init_cam_pos,
+            tvalue_buf=jnp.zeros(_TVBUF_SHAPE, dtype=jnp.float32),
             lego_type=t,
         )
         fk_res = fk0
@@ -419,12 +435,28 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         done = timed_out | slipped | wrist_off
         success = bonus
 
+        if cfg.tvalue_input == "temporal":
+            # 62x10 stacked-obs variant (`..._insert_sim.py:462-463`):
+            # roll the first 62 obs dims into the temporal buffer
+            tvbuf = jnp.concatenate(
+                [state.tvalue_buf[1:], obs[None, :62]], axis=0)
+        else:
+            tvbuf = state.tvalue_buf
         state = state._replace(
             obs_stack=obs_stack,
             state_stack=state_stack,
             reset_flag=done,
             successes=success,
+            tvalue_buf=tvbuf,
         )
+        if cfg.tvalue_input == "pos_rot":
+            # the env's own online GraspInsertTValue(input_dim=7): camera-
+            # frame block pos+rot of the handed-off state (`:391-399`)
+            tv_in = jnp.concatenate([state.init_cam_pos, state.init_cam_rot])
+        elif cfg.tvalue_input == "temporal":
+            tv_in = tvbuf.reshape(-1)
+        else:
+            tv_in = state.init_cam_rot
         out = StepOutput(
             obs=clip_obs(obs_stack.reshape(-1)),
             states=clip_obs(state_stack.reshape(-1)),
@@ -439,7 +471,7 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
                 # of the handed-off reset state, labelled by the insertion
                 # outcome (the env's HDF5 dump, `..._insert_sim.py` save_hdf5)
                 "tvalue_valid": done,
-                "tvalue_input": state.init_cam_rot,
+                "tvalue_input": tv_in,
                 "tvalue_label": success,
                 "terminal_valid": done & (success > 0.0),
                 "terminal_pos": tgt_pos,
@@ -456,6 +488,43 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
 
     def step(state: InsertTaskState, action: jnp.ndarray):
         return step_ctx(state, action, _default_ctx)
+
+    # online T-value trainer (`..._insert_sim.py:391-399` train_t_value):
+    # every log interval, harvest labelled (handoff-state, outcome) rows
+    # from a short rollout of the CURRENT policy and take BCE steps
+    post_epoch_hook = None
+    if cfg.train_t_value:
+        from ...seqdex import tvalue as tvlib2
+
+        _tv_in_dim = {"rot": 4, "pos_rot": 7, "temporal": 620}[cfg.tvalue_input]
+        _tv_state = {}
+
+        def post_epoch_hook(policy_params, epoch):
+            if not _tv_state:
+                init_t, train_step, accuracy = tvlib2.make_tvalue_trainer(
+                    _tv_in_dim, tvlib2.GRASP_INSERT_HIDDEN)
+                _tv_state["ts"] = init_t(jax.random.PRNGKey(7))
+                _tv_state["step"] = jax.jit(train_step)
+                _tv_state["acc"] = jax.jit(accuracy)
+            succ, fail = collect_tvalue_data(
+                policy_params, num_envs=32, steps=cfg.episode_length + 1,
+                seed=epoch)
+            if len(succ) == 0 or len(fail) == 0:
+                return {"insert_tvalue_classes": float(
+                    (len(succ) > 0) + (len(fail) > 0))}
+            import numpy as _np
+
+            ksucc = jnp.asarray(_np.resize(succ, (64, _tv_in_dim)))
+            kfail = jnp.asarray(_np.resize(fail, (64, _tv_in_dim)))
+            _tv_state["ts"], loss = _tv_state["step"](
+                _tv_state["ts"], jax.random.PRNGKey(epoch), ksucc, kfail)
+            xs = jnp.concatenate([ksucc, kfail])
+            labels = jnp.concatenate([jnp.ones(64), jnp.zeros(64)])
+            acc = _tv_state["acc"](_tv_state["ts"].params, xs, labels)
+            return {"insert_tvalue_loss": float(loss),
+                    "insert_tvalue_acc": float(acc)}
+
+        post_epoch_hook.state = _tv_state
 
     env = Env(
         name="BlockAssemblyInsert" if cfg.real_obs else "BlockAssemblyInsertSim",
@@ -485,4 +554,5 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         )
         return split_tvalue_data(data)
 
-    return dataclasses.replace(env, collect_tvalue_data=collect_tvalue_data)
+    return dataclasses.replace(env, collect_tvalue_data=collect_tvalue_data,
+                               post_epoch_hook=post_epoch_hook)

@@ -18,8 +18,12 @@ import numpy as np
 from ..rl import networks
 
 
-def evaluate_stage(env, params, num_envs: int, episodes: int, seed: int = 0):
-    """Deterministic rollouts; returns (success_rate, episode_count, extras)."""
+def evaluate_stage(env, params, num_envs: int, episodes: int, seed: int = 0,
+                   num_types: int = 8):
+    """Deterministic rollouts; returns (success_rate, episode_count,
+    extras). extras carries per-lego-type success rates when the env emits
+    `terminal_type` (the reference prints a per-type success table at
+    reset, `search.py:1292-1302`)."""
     step = jax.jit(
         lambda s, obs: jax.vmap(env.step)(s, networks.actor_mu(params, obs))
     )
@@ -27,13 +31,27 @@ def evaluate_stage(env, params, num_envs: int, episodes: int, seed: int = 0):
     state = jax.jit(jax.vmap(env.reset))(keys)
     obs = state.obs_stack.reshape(num_envs, -1)
     successes, count = 0.0, 0.0
+    t_succ = np.zeros(num_types)
+    t_count = np.zeros(num_types)
     for _ in range(env.episode_length * episodes):
         state, out = step(state, obs)
         obs = out.obs
         done = np.asarray(out.done, dtype=np.float32)
-        successes += float((np.asarray(out.info["successes"]) * done).sum())
+        succ = np.asarray(out.info["successes"])
+        successes += float((succ * done).sum())
         count += float(done.sum())
-    return successes / max(count, 1.0), count, state
+        if "terminal_type" in out.info:
+            t = np.asarray(out.info["terminal_type"]).astype(int)
+            np.add.at(t_count, t, done)
+            np.add.at(t_succ, t, succ * done)
+    extras = {}
+    if t_count.sum() > 0:
+        extras["per_type_success"] = [
+            round(float(t_succ[i] / max(t_count[i], 1.0)), 4)
+            for i in range(num_types)
+        ]
+        extras["per_type_episodes"] = [int(c) for c in t_count]
+    return successes / max(count, 1.0), count, extras
 
 
 def evaluate_gui_chain(env, policies: Dict[str, object], num_envs: int = 16,
@@ -103,13 +121,14 @@ def evaluate_chain(
     chain_rate = 1.0
     for i, name in enumerate(names):
         env = stage_factories[name](reservoir=reservoir, tvalue_params=None)
-        rate, count, _ = evaluate_stage(
+        rate, count, extras = evaluate_stage(
             env, stage_params[name], num_envs, episodes, seed)
         handed_off = reservoir is not None
         results[name] = {
             "success_rate": rate,
             "episodes": count,
             "resets_from_upstream": bool(handed_off),
+            **extras,
         }
         chain_rate *= rate
         reservoir = None

@@ -490,3 +490,20 @@ def test_tstar_registry_task_trains_online_tvalue():
     assert {"tstar_loss", "tstar_success_frac", "tstar_acc"} <= set(m)
     m2 = env.post_epoch_hook(params, 1)
     assert np.isfinite(m2["tstar_loss"])
+
+
+@pytest.mark.slow  # full-scene compile
+@pytest.mark.parametrize("proto,dim", [("pos_rot", 7), ("temporal", 620)])
+def test_insert_tvalue_input_variants(proto, dim):
+    """InsertSim's own T-value protocols (`..._insert_sim.py:391-399`
+    pos+rot input_dim=7; `:462-463` 62x10 temporal variant)."""
+    from seqdex_tpu.envs.block_assembly.insert_sim import (
+        InsertSimConfig, make_insert_sim_env)
+
+    env = make_insert_sim_env(InsertSimConfig(
+        max_contacts=8, solver_iterations=2, substeps=1,
+        tvalue_input=proto))
+    st = env.reset(jax.random.PRNGKey(0))
+    st, out = env.step(st, jnp.zeros(env.num_actions))
+    assert out.info["tvalue_input"].shape == (dim,)
+    assert np.isfinite(np.asarray(out.info["tvalue_input"])).all()
