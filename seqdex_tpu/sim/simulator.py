@@ -171,16 +171,12 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
     col_owner = jnp.asarray(scene.col_owner)
 
     h = config.dt / config.substeps
-    # Pallas QP kernel: opt-in. Measured on v5e at 4096 envs the one-env-per-
-    # program grid underutilizes the MXU vs XLA's batched matvec (252 vs
-    # 204 ms/step); the kernel pays off only once narrowphase+assembly+solve
-    # are fused with multi-env blocking — tracked for the kernels/ roadmap.
-    # Fused contact kernel (kernels/fused_contact.py): assembles the Delassus
-    # matrix in VMEM and runs all QP iterations on-chip, multi-env blocked.
-    # auto (None) = enabled on TPU backends; the measured XLA path spends
-    # ~half the substep materializing + re-reading the batched (3K, 3K) A
-    # from HBM (v5e trace, 2048 envs: while-loop 6.7 ms + row-sum 6.5 ms +
-    # assembly fusions ~5 ms of a 35 ms substep).
+    # Optimized contact solver (kernels/fused_contact.py). auto (None) =
+    # factored-matvec path on TPU backends: the plain XLA path spends ~half
+    # the substep materializing + re-reading the batched (3K, 3K) Delassus
+    # from HBM (v5e trace, 2048 envs: QP while-loop 6.7 ms + row-sum 6.5 ms
+    # + assembly fusions ~5 ms of a 35 ms substep); the factored iteration
+    # builds A once for the preconditioner and never re-reads it.
     try:
         plat = jax.devices()[0].platform
     except Exception:
