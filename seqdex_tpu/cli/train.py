@@ -120,7 +120,15 @@ def train(args):
         ts = ts._replace(params=load_params(args.checkpoint, ts.params))
     if len(mesh.devices.flat) > 1:
         ts = meshlib.shard_train_state(ts, mesh, cfg.num_envs)
-    train_epoch = jax.jit(train_epoch, donate_argnums=(0,))
+    # donation is opt-in: the axon TPU PJRT backend rejects the donated
+    # aliasing of the Orient/InsertSim training programs at dispatch
+    # ("INVALID_ARGUMENT: TPU backend error", reproduced clean at 64 envs,
+    # while the same programs run fine undonated and GraspSim runs fine
+    # either way). The copy saved by donation is negligible at these sizes.
+    if os.environ.get("SEQDEX_DONATE", "0") == "1":
+        train_epoch = jax.jit(train_epoch, donate_argnums=(0,))
+    else:
+        train_epoch = jax.jit(train_epoch)
 
     ckpt = Checkpointer(args.logdir, save_every=args.save_every)
     writer = MetricsWriter(args.logdir)

@@ -162,6 +162,11 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
     reset_fingers = scale_to_limits(
         jnp.asarray(_RESET_FINGER_UNSCALED, dtype=jnp.float32), hand_lower, hand_upper
     )
+    # factory-scope constant: init_state's warm-started mass-operator
+    # inverse is evaluated at compile time and needs a concrete pose
+    reset_q0_const = jnp.zeros(D, dtype=jnp.float32).at[:7].set(
+        jnp.asarray(builders.DEFAULT_ARM_QPOS, dtype=jnp.float32)
+    ).at[7:23].set(reset_fingers)
     target_rot_lock = quat_from_euler_xyz(*[jnp.float32(v) for v in _TARGET_EULER])
 
     def _tip_pos(fk_res):
@@ -192,10 +197,7 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
         from ...core.math import quat_from_angle_axis, random_quat
 
         k1, k2, k3, kt = jax.random.split(key, 4)
-        reset_q0 = jnp.zeros(D, dtype=jnp.float32).at[:7].set(
-            jnp.asarray(builders.DEFAULT_ARM_QPOS, dtype=jnp.float32)
-        ).at[7:23].set(reset_fingers)
-        s = sim.init_state(reset_q0)
+        s = sim.init_state(reset_q0_const)
         if cfg.randomize:
             from ...envs.randomization import randomize_sim_state
 
@@ -233,10 +235,7 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
                                   jnp.maximum(samp["pos"][2], 0.635)),
                               pos_syn)
         block_rot = jnp.where(have, samp["rot"], rot_syn)
-        q0 = jnp.zeros(D, dtype=jnp.float32)
-        q0 = q0.at[:7].set(jnp.asarray(builders.DEFAULT_ARM_QPOS, dtype=jnp.float32))
-        q0 = q0.at[7:23].set(reset_fingers)
-        q0 = _kinematic_descent(q0, block_pos)
+        q0 = _kinematic_descent(reset_q0_const, block_pos)
         s = s._replace(
             q=q0,
             qd=jnp.zeros(D, dtype=jnp.float32),

@@ -91,6 +91,9 @@ class BiOptimizer:
         `scripts/bi_optimization.py:113-124`)."""
         if stage.name in self._programs:
             return self._programs[stage.name]
+        import os as _os
+
+        donate = (0,) if _os.environ.get("SEQDEX_DONATE", "0") == "1" else ()
         env = stage.env_factory()
         if env.init_ctx is None:
             idx = self.stages.index(stage)
@@ -101,11 +104,11 @@ class BiOptimizer:
                 env = stage.env_factory(reservoir=upstream, tvalue_params=tv)
             ppo_cfg = PPOConfig(num_envs=stage.num_envs)
             init, train_epoch, act = make_ppo(env, ppo_cfg)
-            return env, init, jax.jit(train_epoch, donate_argnums=(0,))
+            return env, init, jax.jit(train_epoch, donate_argnums=donate)
         ppo_cfg = PPOConfig(num_envs=stage.num_envs)
         init, train_epoch, act = make_ppo(env, ppo_cfg)
         self._programs[stage.name] = (
-            env, init, jax.jit(train_epoch, donate_argnums=(0,)))
+            env, init, jax.jit(train_epoch, donate_argnums=donate))
         return self._programs[stage.name]
 
     def _stage_ctx(self, stage: StageSpec, env, use_t_value: bool):
