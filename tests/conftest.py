@@ -12,9 +12,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# persistent compile cache: the unrolled FK/contact graphs take minutes to
-# compile on CPU; cache across test sessions
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+# persistent compile cache: REPO-LOCAL dir (not ~/.jax_cache — a shared
+# cache can hold XLA:CPU AOT entries compiled on a different machine whose
+# feature set mismatches; loading those spams errors and can SIGILL).
+# The default fast suite also passes cold in ~5 min without any cache.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
 
 # the environment's sitecustomize registers the TPU ('axon') PJRT plugin at
 # interpreter start and pins jax to it BEFORE this conftest runs — the env
