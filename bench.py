@@ -102,7 +102,7 @@ def main():
             cfg = PPOConfig(num_envs=num_envs)
             init, train_epoch, act = make_ppo(env, cfg)
             ts = init(jax.random.PRNGKey(0))
-            te = jax.jit(train_epoch, donate_argnums=(0,))
+            te = jax.jit(train_epoch)
             for _ in range(3):
                 ts, m = te(ts)
             jax.block_until_ready(m["reward_mean"])
@@ -110,7 +110,9 @@ def main():
             n_ep = 6
             for _ in range(n_ep):
                 ts, m = te(ts)
-            jax.block_until_ready(m["reward_mean"])
+                # block every epoch: donated/async dispatch otherwise lets
+                # the loop race ahead of device execution
+                jax.block_until_ready(m["reward_mean"])
             rate = num_envs * cfg.horizon * n_ep / (time.perf_counter() - t0)
             emit("grasp_sim_training_env_steps_per_sec_per_chip", rate,
                  "env_steps/s/chip")

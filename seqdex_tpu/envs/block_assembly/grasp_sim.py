@@ -105,11 +105,6 @@ class GraspTaskState(NamedTuple):
     meta_rew: jnp.ndarray
     actions: jnp.ndarray  # last actions (23,)
     lego_type: jnp.ndarray  # i32 scalar — this env's target type (ref i % 8)
-    # FK of the CURRENT sim state (computed once for obs at the end of the
-    # previous step and reused for IK at the start of the next — drops one
-    # of three per-step FK sweeps; the 33-link chain is the op-count tail
-    # of the substep trace)
-    fk_cache: object = None
 
 
 # insertion-prepare arm poses (`..._grasp_sim.py` arm_hand_insertion_prepare_dof_pos_list)
@@ -420,7 +415,6 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
             obs_stack=push_frame(state.obs_stack, obs),
             state_stack=push_frame(state.state_stack, st),
             key=key,
-            fk_cache=fk_res,
         )
         return state
 
@@ -431,7 +425,7 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
 
         action = clip_actions(action)
         s = state.sim
-        fk_res = state.fk_cache  # == fk(s.q, s.qd), cached by reset/prev step
+        fk_res = sim.fk(s.q, s.qd)
         prog = state.progress
 
         # finger targets: scale + EMA (`..._grasp_sim.py:1585-1589`)
@@ -482,7 +476,6 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         )
 
         fk_res2 = sim.fk(s.q, s.qd)
-        state = state._replace(fk_cache=fk_res2)
         obs, st, key, cam_tgt_rot = _observe(state, fk_res2)
         obs_stack = push_frame(state.obs_stack, obs)
         state_stack = push_frame(state.state_stack, st)

@@ -95,7 +95,6 @@ class InsertTaskState(NamedTuple):
     init_cam_pos: jnp.ndarray  # (3,) camera-frame block pos at reset ("pos_rot")
     tvalue_buf: jnp.ndarray  # (10, 62) temporal T-value obs ("temporal") or (1, 1)
     lego_type: jnp.ndarray  # i32 scalar
-    fk_cache: object = None  # FK of the current sim state (see grasp_sim)
 
 
 # wrist orientation lock (`..._insert_sim.py` target_euler, same constant as
@@ -365,7 +364,6 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
             init_cam_pos=init_cam_pos,
             tvalue_buf=jnp.zeros(_TVBUF_SHAPE, dtype=jnp.float32),
             lego_type=t,
-            fk_cache=fk0,
         )
         fk_res = fk0
         obs, st = _observe(state, fk_res)
@@ -380,7 +378,7 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
 
         action = clip_actions(action)
         s = state.sim
-        fk_res = state.fk_cache  # cached by reset / previous step
+        fk_res = sim.fk(s.q, s.qd)
 
         fingers = scale_to_limits(action[7:23], hand_lower, hand_upper)
         fingers = (
@@ -402,7 +400,6 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         state = state._replace(sim=s, progress=prog, prev_targets=targets, actions=action)
 
         fk2 = sim.fk(s.q, s.qd)
-        state = state._replace(fk_cache=fk2)
         obs, st = _observe(state, fk2)
         obs_stack = push_frame(state.obs_stack, obs)
         state_stack = push_frame(state.state_stack, st)

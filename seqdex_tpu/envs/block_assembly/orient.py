@@ -85,7 +85,6 @@ class OrientTaskState(NamedTuple):
     successes: jnp.ndarray
     actions: jnp.ndarray
     lego_type: jnp.ndarray  # i32 scalar
-    fk_cache: object = None  # FK of the current sim state (see grasp_sim)
 
 
 def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
@@ -357,7 +356,6 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
             obs_stack=push_frame(state.obs_stack, obs),
             state_stack=push_frame(state.state_stack, st),
             key=key,
-            fk_cache=fk_res,
         )
 
     def step_ctx(state: OrientTaskState, action: jnp.ndarray, ctx):
@@ -366,7 +364,7 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
 
         action = clip_actions(action)
         s = state.sim
-        fk_res = state.fk_cache  # cached by reset / previous step
+        fk_res = sim.fk(s.q, s.qd)
 
         # fingers: policy-controlled (`..._orient.py:1727-1731`)
         fingers = scale_to_limits(action[7:23], hand_lower, hand_upper)
@@ -391,7 +389,6 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
         state = state._replace(sim=s, progress=prog, prev_targets=targets, actions=action)
 
         fk2 = sim.fk(s.q, s.qd)
-        state = state._replace(fk_cache=fk2)
         obs, st, key, cam_tgt_rot = _observe(state, fk2)
         obs_stack = push_frame(state.obs_stack, obs)
         state_stack = push_frame(state.state_stack, st)

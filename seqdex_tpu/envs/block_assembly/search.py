@@ -138,10 +138,14 @@ def _settle_heaps(sim, cfg: SearchConfig):
     for h in range(cfg.heap_pool):
         pos0[h], quat0[h] = _heap_drop_layout(cfg, rng)
 
+    # created OUTSIDE the traced settle: init_state's compile-time-evaluated
+    # warm-start inverse needs a concrete pose (a constant built inside a
+    # jit trace is a Tracer post-omnistaging)
+    q0 = jnp.asarray(
+        np.concatenate([builders.DEFAULT_ARM_QPOS, np.zeros(16)]),
+        dtype=jnp.float32)
+
     def settle(body_pos, body_quat):
-        q0 = jnp.asarray(
-            np.concatenate([builders.DEFAULT_ARM_QPOS, np.zeros(16)]), dtype=jnp.float32
-        )
         s = sim.init_state(q0)
         # scenes may carry extra bodies beyond the heap (e.g. the chain-eval
         # socket) — keep their init poses, settle only the heap slots
