@@ -96,7 +96,7 @@ def mode_hot(env, state, params, num_envs):
 
 def mode_trace(env, state, params, num_envs, target):
     fn, arg = target_fn(env, state, params, target, num_envs)
-    if isinstance(arg, tuple):
+    if isinstance(arg, tuple) and not hasattr(arg, "_fields"):
         call = lambda: fn(*arg)
     else:
         call = lambda: fn(arg)
