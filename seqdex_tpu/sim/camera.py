@@ -27,18 +27,67 @@ def ray_box_t(origin, direction, box_pos, box_quat, half):
     origin: (3,), direction: (R, 3) unit rays — world frame
     box_pos: (B, 3), box_quat: (B, 4), half: (B, 3)
     returns t: (R, B), +inf where no hit.
+
+    Layout discipline: everything is computed on (B, R) component planes
+    (rotation entries from the quaternion as (B,) planes, slabs merged
+    axis-by-axis) — no (R, B, 3) intermediates; the trailing-3 formulation
+    cost ~15 ms/step at Search scale (128 envs x 4096 rays x 132 boxes).
     """
-    qc = quat_conjugate(box_quat)
-    o = quat_apply(qc[None, :, :], origin[None, None, :] - box_pos[None, :, :])  # (1,B,3)
-    d = quat_apply(qc[None, :, :], direction[:, None, :])  # (R,B,3)
-    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, jnp.where(d >= 0, 1e-9, -1e-9), d)
-    t1 = (-half[None] - o) * inv
-    t2 = (half[None] - o) * inv
-    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
-    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    hit = (tmax >= jnp.maximum(tmin, 0.0))
+    # box-frame ray components via R^T, plane form
+    qx, qy, qz, qw = (box_quat[:, 0], box_quat[:, 1], box_quat[:, 2],
+                      box_quat[:, 3])
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qz * qw)
+    r02 = 2 * (qx * qz + qy * qw)
+    r10 = 2 * (qx * qy + qz * qw)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qx * qw)
+    r20 = 2 * (qx * qz - qy * qw)
+    r21 = 2 * (qy * qz + qx * qw)
+    r22 = 1 - 2 * (qy * qy + qx * qx)
+    # origin in box frame: (B,) planes
+    ex = origin[0] - box_pos[:, 0]
+    ey = origin[1] - box_pos[:, 1]
+    ez = origin[2] - box_pos[:, 2]
+    ox = r00 * ex + r10 * ey + r20 * ez
+    oy = r01 * ex + r11 * ey + r21 * ez
+    oz = r02 * ex + r12 * ey + r22 * ez
+    # ray directions in box frame: (B, R) planes
+    dxw, dyw, dzw = direction[:, 0], direction[:, 1], direction[:, 2]
+
+    def _axis(ra, rb, rc, o_a, h_a):
+        d = (ra[:, None] * dxw[None, :] + rb[:, None] * dyw[None, :]
+             + rc[:, None] * dzw[None, :])  # (B, R)
+        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9,
+                              jnp.where(d >= 0, 1e-9, -1e-9), d)
+        t1 = (-h_a - o_a)[:, None] * inv
+        t2 = (h_a - o_a)[:, None] * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    n1, x1 = _axis(r00, r10, r20, ox, half[:, 0])
+    n2, x2 = _axis(r01, r11, r21, oy, half[:, 1])
+    n3, x3 = _axis(r02, r12, r22, oz, half[:, 2])
+    tmin = jnp.maximum(n1, jnp.maximum(n2, n3))
+    tmax = jnp.minimum(x1, jnp.minimum(x2, x3))
+    hit = tmax >= jnp.maximum(tmin, 0.0)
     t = jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf)
-    return t
+    return t.T  # (R, B)
+
+
+def _min_argmin_reduce(t):
+    """(min, argmin) over axis 0 of a (B, R) grid in one variadic reduce —
+    XLA fuses the slab-test producer in, so the grid is read once and never
+    materialized."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+
+    def merge(a, b):
+        ta, ia = a
+        tb, ib = b
+        take_a = ta <= tb
+        return jnp.where(take_a, ta, tb), jnp.where(take_a, ia, ib)
+
+    return jax.lax.reduce((t, iota), (jnp.float32(jnp.inf), jnp.int32(0)),
+                          merge, (0,))
 
 
 def make_segmentation_camera(width: int = 128, height: int = 128,
@@ -65,9 +114,8 @@ def make_segmentation_camera(width: int = 128, height: int = 128,
         """target_idx: int index into the box arrays. Returns
         (count, cx, cy) with centroid in pixel units (x: col, y: row)."""
         dirs_w = quat_apply(cam_quat[None, :], dirs_cam)  # (R, 3)
-        t = ray_box_t(cam_pos, dirs_w, box_pos, box_quat, box_half)  # (R, B)
-        t_min = jnp.min(t, axis=-1)
-        argmin = jnp.argmin(t, axis=-1)
+        t_br = ray_box_t(cam_pos, dirs_w, box_pos, box_quat, box_half).T  # (B, R)
+        t_min, argmin = _min_argmin_reduce(t_br)  # (R,) each, single pass
         visible = jnp.isfinite(t_min) & (argmin == target_idx)
         count = jnp.sum(visible)
         denom = jnp.maximum(count, 1)

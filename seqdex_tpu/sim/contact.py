@@ -99,7 +99,56 @@ class ContactSet(NamedTuple):
         return jnp.stack([self.px, self.py, self.pz], axis=-1)
 
 
-def make_narrowphase(scene: CompiledScene, max_contacts: int):
+def _best2_reduce(depth):
+    """Top-2 (value, index) over axis 0 of a (C, P) grid in ONE pass.
+
+    A 4-operand `lax.reduce` with an associative top-2-merge monoid; XLA
+    fuses the depth producer into the reduce body so the grid is never
+    materialized and is read exactly once (vs 4 passes for max/argmax x2).
+    Returns (d1, c1, d2, c2), each (P,).
+    """
+    C = depth.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, depth.shape, 0)
+    neg = jnp.full_like(depth, -1e9)
+    zero = jnp.zeros_like(iota)
+
+    def merge(a, b):
+        d1a, i1a, d2a, i2a = a
+        d1b, i1b, d2b, i2b = b
+        a_first = d1a >= d1b
+        d1 = jnp.where(a_first, d1a, d1b)
+        i1 = jnp.where(a_first, i1a, i1b)
+        # runner-up of the union = max(loser's best, winner's second)
+        lo = jnp.where(a_first, d1b, d1a)
+        li = jnp.where(a_first, i1b, i1a)
+        ws = jnp.where(a_first, d2a, d2b)
+        wi = jnp.where(a_first, i2a, i2b)
+        take_lo = lo >= ws
+        d2 = jnp.where(take_lo, lo, ws)
+        i2 = jnp.where(take_lo, li, wi)
+        return d1, i1, d2, i2
+
+    init = (jnp.float32(-1e9), jnp.int32(0), jnp.float32(-1e9), jnp.int32(0))
+    return jax.lax.reduce((depth, iota, neg, zero), init, merge, (0,))
+
+
+def make_narrowphase(scene: CompiledScene, max_contacts: int,
+                     neighbor_list=None, nl_candidates: int = 64,
+                     nl_group_size: int = 64):
+    """Contact generation closure.
+
+    Two selection strategies over the (points x colliders) SDF product:
+    * dense — evaluate every legal pair (small scenes; exact).
+    * neighbor-list — points are grouped by owner (brick / robot link) into a
+      static (G, S) grid; per group the M nearest colliders are selected each
+      substep by center distance minus collider circumradius (a LOWER bound
+      on the true gap, so no contact-capable collider is ever culled while
+      M >= the number of colliders within reach), and the SDF is evaluated
+      only on (G, M, S). The 132-brick Search heap evaluates 5723 x 508 =
+      2.9M pairs dense (~19 ms/substep of a 33 ms substep at 128 envs on
+      v5e); the grid path evaluates ~0.5M.
+      `neighbor_list=None` auto-enables when P*C is heap-scale.
+    """
     P, C = scene.npoints, scene.ncolliders
     art = scene.art
     D = art.ndof
@@ -235,87 +284,28 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
         anc_byC,
     ], axis=1)  # (C, 5 + D)
 
-    def narrowphase(fk_pos, fk_quat, body_pos, body_quat, geom=None,
-                    collision_filter=None) -> ContactSet:
-        csize = col_size if geom is None else geom.col_size
-        pw = point_world(fk_pos, fk_quat, body_pos, body_quat, geom)  # (P, 3)
-        cp, cq = collider_world(fk_pos, fk_quat, body_pos, body_quat, geom)
-        Rc = quat_to_matrix(cq)  # (C, 3, 3)
-
-        # SoA: point coordinates in every collider frame, planes of (C, P)
-        pwT = pw.T  # (3, P)
-        # local = Rc^T (pw - cp):  l[c, i, :] = sum_j Rc[c, j, i] * (pwT[j] - cp[c, j])
-        rel = pwT[None, :, :] - cp[:, :, None]  # (C, 3, P)
-        lx = (Rc[:, 0, 0, None] * rel[:, 0] + Rc[:, 1, 0, None] * rel[:, 1]
-              + Rc[:, 2, 0, None] * rel[:, 2])  # (C, P)
-        ly = (Rc[:, 0, 1, None] * rel[:, 0] + Rc[:, 1, 1, None] * rel[:, 1]
-              + Rc[:, 2, 1, None] * rel[:, 2])
-        lz = (Rc[:, 0, 2, None] * rel[:, 0] + Rc[:, 1, 2, None] * rel[:, 1]
-              + Rc[:, 2, 2, None] * rel[:, 2])
-
-        hx = csize[:, 0, None]
-        hy = csize[:, 1, None]
-        hz = csize[:, 2, None]
-
-        # box SDF (branch-free, SoA planes — selection only, no normals)
-        qx, qy, qz = jnp.abs(lx) - hx, jnp.abs(ly) - hy, jnp.abs(lz) - hz
-        qxp, qyp, qzp = jnp.maximum(qx, 0.0), jnp.maximum(qy, 0.0), jnp.maximum(qz, 0.0)
-        outside = jnp.sqrt(qxp * qxp + qyp * qyp + qzp * qzp)
-        max_in = jnp.maximum(qx, jnp.maximum(qy, qz))
-        sdf_box = outside + jnp.minimum(max_in, 0.0)
-        # sphere SDF
-        r_loc = jnp.sqrt(lx * lx + ly * ly + lz * lz)
-        sdf_sph = r_loc - hx
-        # plane z=0
-        sdf = jnp.where(is_box, sdf_box, jnp.where(is_sphere, sdf_sph, lz))
-
-        depth = pt_radius[None, :] - sdf  # (C, P)
-        depth = jnp.where(pair_mask_T, depth, -1e9)
-        if collision_filter is not None:
-            # PhysX-style filter words: pair collides iff words AND to zero
-            wp = collision_filter[_pt_entity]  # (P,)
-            wc = collision_filter[_col_entity]  # (C,)
-            gate = (wc[:, None] & wp[None, :]) == 0  # (C, P)
-            depth = jnp.where(gate, depth, -1e9)
-
-        # per-point best-2 colliders (reduce over the C axis), then top-K over
-        # 2P candidates — no full sort of the P*C grid. A point in deep
-        # simultaneous contact with 3+ colliders drops its 3rd contact.
-        c1 = jnp.argmax(depth, axis=0)  # (P,)
-        d1 = jnp.max(depth, axis=0)
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, depth.shape, 0)
-        depth2 = jnp.where(row_iota == c1[None, :], -1e9, depth)
-        c2 = jnp.argmax(depth2, axis=0)
-        d2 = jnp.max(depth2, axis=0)
-        cand_depth = jnp.concatenate([d1, d2])  # (2P,)
-        cand_col = jnp.concatenate([c1, c2])
-        top_depth, top_i = jax.lax.top_k(cand_depth, K)
-        pidx = top_i % P
-        cidx = cand_col[top_i]
-
-        # ---- per-contact stage: K-sized recomputation from tiny tables ----
-        # point side: ONE static-table gather + the runtime pw rows
-        gP = _staticP[pidx]  # (K, 4 + D)
-        pw_k = pw[pidx]  # (K, 3) row gather
-        kx, ky, kz = pw_k[:, 0], pw_k[:, 1], pw_k[:, 2]
-        r_k = gP[:, 0]
-        mu_pt = gP[:, 1]
-        body_pt_k = gP[:, 2].astype(jnp.int32)
-        link_pt_k = gP[:, 3].astype(jnp.int32)
-        anc_pt_k = gP[:, 4:]
-        # collider side: ONE runtime gather (pose + size) + ONE static
-        runtimeC = jnp.concatenate([cp, cq, csize], axis=1)  # (C, 10)
-        gC = runtimeC[cidx]
-        gSC = _staticC[cidx]  # (K, 5 + D)
+    def _per_contact(top_depth, pidx, cidx, pw, cp, cq, csize) -> ContactSet:
+        """K-sized per-winner stage: recompute normal/position from tiny
+        gathered tables (shared by the dense and neighbor-list paths)."""
+        # ONE gather per side (gather cost is ~latency-per-row, so the
+        # runtime columns are concatenated with the static table first)
+        gP = jnp.concatenate([pw, _staticP], axis=1)[pidx]  # (K, 7 + D)
+        kx, ky, kz = gP[:, 0], gP[:, 1], gP[:, 2]
+        r_k = gP[:, 3]
+        mu_pt = gP[:, 4]
+        body_pt_k = gP[:, 5].astype(jnp.int32)
+        link_pt_k = gP[:, 6].astype(jnp.int32)
+        anc_pt_k = gP[:, 7:]
+        gC = jnp.concatenate([cp, cq, csize, _staticC], axis=1)[cidx]
         cp_k = gC[:, 0:3]
         cq_k = gC[:, 3:7]  # (K, 4) xyzw
         sz_k = gC[:, 7:10]
-        mu_col = gSC[:, 0]
-        boxf = gSC[:, 1]
-        sphf = gSC[:, 2]
-        body_col_k = gSC[:, 3].astype(jnp.int32)
-        link_col_k = gSC[:, 4].astype(jnp.int32)
-        anc_col_k = gSC[:, 5:]
+        mu_col = gC[:, 10]
+        boxf = gC[:, 11]
+        sphf = gC[:, 12]
+        body_col_k = gC[:, 13].astype(jnp.int32)
+        link_col_k = gC[:, 14].astype(jnp.int32)
+        anc_col_k = gC[:, 15:]
 
         # rotation-matrix entries from the quaternion, componentwise
         qx_, qy_, qz_, qw_ = cq_k[:, 0], cq_k[:, 1], cq_k[:, 2], cq_k[:, 3]
@@ -391,7 +381,270 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int):
             link_col=link_col_k,
         )
 
-    return narrowphase, point_world
+    def narrowphase(fk_pos, fk_quat, body_pos, body_quat, geom=None,
+                    collision_filter=None) -> ContactSet:
+        csize = col_size if geom is None else geom.col_size
+        pw = point_world(fk_pos, fk_quat, body_pos, body_quat, geom)  # (P, 3)
+        cp, cq = collider_world(fk_pos, fk_quat, body_pos, body_quat, geom)
+
+        # SoA: point coordinates in every collider frame, planes of (C, P).
+        # The rotation entries come straight from the quaternion as (C,)
+        # planes and the relative position is expanded per component — no
+        # (C, 3, P) intermediate (materializing it costs 4.5 GB/substep at
+        # Search scale: 128 envs x 508 x 3 x 5723 fp32, v5e trace r4)
+        cqx, cqy, cqz, cqw = cq[:, 0], cq[:, 1], cq[:, 2], cq[:, 3]
+        r00 = (1 - 2 * (cqy * cqy + cqz * cqz))[:, None]
+        r01 = (2 * (cqx * cqy - cqz * cqw))[:, None]
+        r02 = (2 * (cqx * cqz + cqy * cqw))[:, None]
+        r10 = (2 * (cqx * cqy + cqz * cqw))[:, None]
+        r11 = (1 - 2 * (cqx * cqx + cqz * cqz))[:, None]
+        r12 = (2 * (cqy * cqz - cqx * cqw))[:, None]
+        r20 = (2 * (cqx * cqz - cqy * cqw))[:, None]
+        r21 = (2 * (cqy * cqz + cqx * cqw))[:, None]
+        r22 = (1 - 2 * (cqy * cqy + cqx * cqx))[:, None]
+        dx = pw[None, :, 0] - cp[:, 0, None]  # (C, P) via broadcast
+        dy = pw[None, :, 1] - cp[:, 1, None]
+        dz = pw[None, :, 2] - cp[:, 2, None]
+        lx = r00 * dx + r10 * dy + r20 * dz
+        ly = r01 * dx + r11 * dy + r21 * dz
+        lz = r02 * dx + r12 * dy + r22 * dz
+
+        hx = csize[:, 0, None]
+        hy = csize[:, 1, None]
+        hz = csize[:, 2, None]
+
+        # box SDF (branch-free, SoA planes — selection only, no normals)
+        qx, qy, qz = jnp.abs(lx) - hx, jnp.abs(ly) - hy, jnp.abs(lz) - hz
+        qxp, qyp, qzp = jnp.maximum(qx, 0.0), jnp.maximum(qy, 0.0), jnp.maximum(qz, 0.0)
+        outside = jnp.sqrt(qxp * qxp + qyp * qyp + qzp * qzp)
+        max_in = jnp.maximum(qx, jnp.maximum(qy, qz))
+        sdf_box = outside + jnp.minimum(max_in, 0.0)
+        # sphere SDF
+        r_loc = jnp.sqrt(lx * lx + ly * ly + lz * lz)
+        sdf_sph = r_loc - hx
+        # plane z=0
+        sdf = jnp.where(is_box, sdf_box, jnp.where(is_sphere, sdf_sph, lz))
+
+        depth = pt_radius[None, :] - sdf  # (C, P)
+        depth = jnp.where(pair_mask_T, depth, -1e9)
+        if collision_filter is not None:
+            # PhysX-style filter words: pair collides iff words AND to zero
+            wp = collision_filter[_pt_entity]  # (P,)
+            wc = collision_filter[_col_entity]  # (C,)
+            gate = (wc[:, None] & wp[None, :]) == 0  # (C, P)
+            depth = jnp.where(gate, depth, -1e9)
+
+        # per-point best-2 colliders in ONE variadic reduce over the C axis
+        # (the max/argmax x2 formulation ran 4 read-passes over the (C, P)
+        # grid — 11.9 ms/substep at Search scale), then top-K over 2P
+        # candidates. A point in deep simultaneous contact with 3+ colliders
+        # drops its 3rd contact.
+        d1, c1, d2, c2 = _best2_reduce(depth)
+        cand_depth = jnp.concatenate([d1, d2])  # (2P,)
+        cand_col = jnp.concatenate([c1, c2])
+        top_depth, top_i = jax.lax.top_k(cand_depth, K)
+        pidx = top_i % P
+        cidx = cand_col[top_i]
+        return _per_contact(top_depth, pidx, cidx, pw, cp, cq, csize)
+
+    # ------------------------------------------------------------------
+    # neighbor-list path: static (G, S) point grid + per-group top-M
+    # candidate colliders by center distance (see factory docstring)
+    # ------------------------------------------------------------------
+    # measured on v5e (128-env Search heap): the grid path's per-candidate
+    # row gathers cost ~10 ns/row — (G x M) candidate-data + winner-id
+    # gathers total ~30 ms/substep, losing to the fused dense pass (the
+    # single-read variadic best-2 above). Auto therefore stays DENSE at any
+    # scale; the grid path remains available for scenes so large the dense
+    # O(P*C) pass itself dominates its gather bill (P*C >> 10M)
+    auto_nl = False
+    use_nl = auto_nl if neighbor_list is None else bool(neighbor_list)
+    if not use_nl:
+        return narrowphase, point_world
+
+    M = min(nl_candidates, C)
+    # --- host-side grid build ---
+    pt_kind_np = np.asarray(scene.pt_owner_kind)
+    pt_owner_np = np.asarray(scene.pt_owner)
+    pt_off_np = np.asarray(scene.pt_offset, dtype=np.float64)
+    pt_rad_np = np.asarray(scene.pt_radius, dtype=np.float64)
+    chunks = []  # (kind, owner, np point-index array)
+    seen = {}
+    for p in range(P):
+        key = (int(pt_kind_np[p]), int(pt_owner_np[p]))
+        seen.setdefault(key, []).append(p)
+    for key, idxs in seen.items():
+        n = len(idxs)
+        k = max(1, -(-n // nl_group_size))  # ceil
+        size = -(-n // k)
+        for i in range(0, n, size):
+            chunks.append((key[0], key[1], np.asarray(idxs[i:i + size])))
+    G = len(chunks)
+    S = max(len(c[2]) for c in chunks)
+    grid_idx_np = np.zeros((G, S), dtype=np.int32)
+    grid_valid_np = np.zeros((G, S), dtype=bool)
+    grp_kind_np = np.zeros(G, dtype=np.int32)
+    grp_owner_np = np.zeros(G, dtype=np.int32)
+    grp_centroid_np = np.zeros((G, 3))
+    grp_radius_np = np.zeros(G)
+    gc_mask_np = np.zeros((G, C), dtype=bool)
+    pm_np = np.asarray(scene.pair_mask)
+    for gi, (kind, owner, idxs) in enumerate(chunks):
+        n = len(idxs)
+        grid_idx_np[gi, :n] = idxs
+        grid_valid_np[gi, :n] = True
+        grp_kind_np[gi] = kind
+        grp_owner_np[gi] = owner
+        cen = pt_off_np[idxs].mean(axis=0)
+        grp_centroid_np[gi] = cen
+        grp_radius_np[gi] = float(
+            np.max(np.linalg.norm(pt_off_np[idxs] - cen, axis=1)
+                   + pt_rad_np[idxs]))
+        gc_mask_np[gi] = pm_np[idxs].any(axis=0)
+    grid_idx = jnp.asarray(grid_idx_np)
+    grid_valid = jnp.asarray(grid_valid_np)
+    grp_owner_link = jnp.asarray(
+        np.clip(grp_owner_np, 0, art.nlinks - 1).astype(np.int32))
+    grp_owner_body = jnp.asarray(
+        np.clip(grp_owner_np, 0, max(B - 1, 0)).astype(np.int32))
+    grp_is_link = jnp.asarray(grp_kind_np == OWNER_LINK)
+    grp_centroid = jnp.asarray(grp_centroid_np, dtype=jnp.float32)
+    gc_mask = jnp.asarray(gc_mask_np)
+    grp_entity_np = np.where(grp_kind_np == OWNER_LINK, 0,
+                             np.where(grp_kind_np == OWNER_BODY,
+                                      grp_owner_np + 1, B + 1))
+    grp_entity = jnp.asarray(grp_entity_np.astype(np.int32))
+    # identity planes in grid order (pair-legality re-derivation; see
+    # native.build_pair_mask: ~(same_entry | same_owner | same_group))
+    pt_entry_np = np.asarray(scene.pt_entry)
+    pt_gid_np = np.asarray(scene.pt_group_id)
+    g_pentry = jnp.asarray(pt_entry_np[grid_idx_np].astype(np.float32))
+    g_pgid = jnp.asarray(pt_gid_np[grid_idx_np].astype(np.float32))
+    g_pkind = jnp.asarray(pt_kind_np[grid_idx_np].astype(np.float32))
+    g_powner = jnp.asarray(pt_owner_np[grid_idx_np].astype(np.float32))
+    g_prad = jnp.asarray(pt_rad_np[grid_idx_np].astype(np.float32))
+    col_entry_f = jnp.asarray(np.asarray(scene.col_entry).astype(np.float32))
+    col_gid_f = jnp.asarray(np.asarray(scene.col_group_id).astype(np.float32))
+    col_okind_f = jnp.asarray(col_kind_np.astype(np.float32))  # owner kind
+    col_ownerf = jnp.asarray(col_owner_np.astype(np.float32))
+    is_plane_c = jnp.asarray((np.asarray(scene.col_kind) == GEOM_PLANE))
+    flat_pt = jnp.asarray(grid_idx_np.reshape(-1))
+
+    def narrowphase_nl(fk_pos, fk_quat, body_pos, body_quat, geom=None,
+                       collision_filter=None) -> ContactSet:
+        csize = col_size if geom is None else geom.col_size
+        pw = point_world(fk_pos, fk_quat, body_pos, body_quat, geom)  # (P, 3)
+        cp, cq = collider_world(fk_pos, fk_quat, body_pos, body_quat, geom)
+
+        # ---- candidate selection: per-group nearest-M colliders ----
+        gl = fk_pos[grp_owner_link] + quat_apply(
+            fk_quat[grp_owner_link], grp_centroid)
+        if body_pos.shape[0] > 0:
+            gb = body_pos[grp_owner_body] + quat_apply(
+                body_quat[grp_owner_body], grp_centroid)
+        else:
+            gb = gl
+        gcen = jnp.where(grp_is_link[:, None], gl, gb)  # (G, 3)
+        # collider circumradius from the RUNTIME size (geom overrides)
+        r_c = jnp.where(
+            is_plane_c, 1e9,
+            jnp.sqrt(jnp.sum(csize * csize, axis=1)))  # (C,) sphere: r*sqrt3 bound
+        d2 = (jnp.square(gcen[:, 0:1] - cp[None, :, 0])
+              + jnp.square(gcen[:, 1:2] - cp[None, :, 1])
+              + jnp.square(gcen[:, 2:3] - cp[None, :, 2]))  # (G, C)
+        score = jnp.sqrt(d2) - r_c[None, :]  # lower bound on surface gap
+        score = jnp.where(gc_mask, score, 1e9)
+        if collision_filter is not None:
+            wg = collision_filter[grp_entity]  # (G,)
+            wc = collision_filter[_col_entity]  # (C,)
+            score = jnp.where((wg[:, None] & wc[None, :]) == 0, score, 1e9)
+        neg, cand = jax.lax.top_k(-score, M)  # (G, M)
+        cand_ok = neg > -1e8
+
+        # ---- gather candidate collider rows: pose + size + identity ----
+        tbl = jnp.concatenate([
+            cp, cq, csize,
+            col_entry_f[:, None], col_okind_f[:, None],
+            col_ownerf[:, None], col_gid_f[:, None],
+            is_box_c[:, None], is_sphere_c[:, None],
+        ], axis=1)  # (C, 16)
+        gcand = tbl[cand]  # (G, M, 16)
+        ccx, ccy, ccz = gcand[..., 0], gcand[..., 1], gcand[..., 2]
+        cqx, cqy, cqz, cqw = (gcand[..., 3], gcand[..., 4], gcand[..., 5],
+                              gcand[..., 6])
+        chx, chy, chz = gcand[..., 7], gcand[..., 8], gcand[..., 9]
+        centry = gcand[..., 10]
+        ckind = gcand[..., 11]
+        cowner = gcand[..., 12]
+        cgid = gcand[..., 13]
+        cbox = gcand[..., 14]
+        csph = gcand[..., 15]
+
+        # rotation planes (G, M)
+        r00 = 1 - 2 * (cqy * cqy + cqz * cqz)
+        r01 = 2 * (cqx * cqy - cqz * cqw)
+        r02 = 2 * (cqx * cqz + cqy * cqw)
+        r10 = 2 * (cqx * cqy + cqz * cqw)
+        r11 = 1 - 2 * (cqx * cqx + cqz * cqz)
+        r12 = 2 * (cqy * cqz - cqx * cqw)
+        r20 = 2 * (cqx * cqz - cqy * cqw)
+        r21 = 2 * (cqy * cqz + cqx * cqw)
+        r22 = 1 - 2 * (cqy * cqy + cqx * cqx)
+
+        # point grid planes (G, S)
+        pwx = pw[:, 0][grid_idx]
+        pwy = pw[:, 1][grid_idx]
+        pwz = pw[:, 2][grid_idx]
+        # local coords (G, M, S): R^T (p - c)
+        dx = pwx[:, None, :] - ccx[:, :, None]
+        dy = pwy[:, None, :] - ccy[:, :, None]
+        dz = pwz[:, None, :] - ccz[:, :, None]
+        lx = r00[..., None] * dx + r10[..., None] * dy + r20[..., None] * dz
+        ly = r01[..., None] * dx + r11[..., None] * dy + r21[..., None] * dz
+        lz = r02[..., None] * dx + r12[..., None] * dy + r22[..., None] * dz
+        qx = jnp.abs(lx) - chx[..., None]
+        qy = jnp.abs(ly) - chy[..., None]
+        qz = jnp.abs(lz) - chz[..., None]
+        qxp, qyp, qzp = (jnp.maximum(qx, 0.0), jnp.maximum(qy, 0.0),
+                         jnp.maximum(qz, 0.0))
+        outside = jnp.sqrt(qxp * qxp + qyp * qyp + qzp * qzp)
+        max_in = jnp.maximum(qx, jnp.maximum(qy, qz))
+        sdf_box = outside + jnp.minimum(max_in, 0.0)
+        r_loc = jnp.sqrt(lx * lx + ly * ly + lz * lz)
+        sdf = (cbox[..., None] * sdf_box
+               + csph[..., None] * (r_loc - chx[..., None])
+               + (1.0 - cbox - csph)[..., None] * lz)
+        depth = g_prad[:, None, :] - sdf  # (G, M, S)
+        # pair legality: ~(same_entry | same_owner | same_group)
+        same_entry = centry[..., None] == g_pentry[:, None, :]
+        same_owner = ((ckind[..., None] == g_pkind[:, None, :])
+                      & (cowner[..., None] == g_powner[:, None, :]))
+        same_group = ((cgid[..., None] >= 0) & (g_pgid[:, None, :] >= 0)
+                      & (cgid[..., None] == g_pgid[:, None, :]))
+        legal = (~(same_entry | same_owner | same_group)
+                 & cand_ok[..., None] & grid_valid[:, None, :])
+        depth = jnp.where(legal, depth, -1e9)
+
+        # per-point best-2 over the M candidates
+        d1 = jnp.max(depth, axis=1)  # (G, S)
+        m1 = jnp.argmax(depth, axis=1)
+        m_iota = jax.lax.broadcasted_iota(jnp.int32, depth.shape, 1)
+        depth2 = jnp.where(m_iota == m1[:, None, :], -1e9, depth)
+        d2_ = jnp.max(depth2, axis=1)
+        m2 = jnp.argmax(depth2, axis=1)
+        c1 = jnp.take_along_axis(cand, m1, axis=1)  # (G, S)
+        c2 = jnp.take_along_axis(cand, m2, axis=1)
+        cand_depth = jnp.concatenate([d1.reshape(-1), d2_.reshape(-1)])
+        cand_col = jnp.concatenate([c1.reshape(-1), c2.reshape(-1)])
+        GS = G * S
+        top_depth, top_i = jax.lax.top_k(cand_depth, K)
+        pidx = flat_pt[top_i % GS]
+        cidx = cand_col[top_i]
+        return _per_contact(top_depth, pidx, cidx, pw, cp, cq, csize)
+
+    narrowphase_nl.dense = narrowphase  # exact reference for tests
+    narrowphase_nl.grid_shape = (G, M, S)
+    return narrowphase_nl, point_world
 
 
 def _tangent_basis_soa(nx, ny, nz):
@@ -456,6 +709,9 @@ def solve_contact_qp(
     max_depenetration_vel: float = 0.5,
     use_pallas: bool = False,
     fused_solver=None,
+    segmented: bool = False,
+    precond: str = "exact",
+    pre_gathered=None,
 ):
     """Solve the contact impulse QP (see module docstring). Per-env.
 
@@ -492,10 +748,15 @@ def solve_contact_qp(
         valid_col = contacts.body_col >= 0
         bpt = jnp.clip(contacts.body_pt, 0, B - 1)
         bcl = jnp.clip(contacts.body_col, 0, B - 1)
-        invm_pt = inv_mass_b[bpt] * valid_pt  # (K,)
-        invm_col = inv_mass_b[bcl] * valid_col
-        Ii_pt = inv_inertia_w[bpt] * valid_pt[:, None, None]  # (K, 3, 3)
-        Ii_col = inv_inertia_w[bcl] * valid_col[:, None, None]
+        if pre_gathered is not None:
+            # caller already gathered the per-contact mass slices as part of
+            # its combined (B, 19) body-table gather (simulator.py substep)
+            invm_pt, invm_col, Ii_pt, Ii_col = pre_gathered
+        else:
+            invm_pt = inv_mass_b[bpt] * valid_pt  # (K,)
+            invm_col = inv_mass_b[bcl] * valid_col
+            Ii_pt = inv_inertia_w[bpt] * valid_pt[:, None, None]  # (K, 3, 3)
+            Ii_col = inv_inertia_w[bcl] * valid_col[:, None, None]
     else:
         zK = jnp.zeros_like(contacts.px)
         valid_pt = valid_col = zK > 0
@@ -600,6 +861,12 @@ def solve_contact_qp(
             dbody_w=dbody_w,
         )
 
+    # the segmented path never materializes A for the ITERATIONS; with
+    # precond="exact" it is still assembled once for the row-sum
+    # preconditioner (bit-identical step sizes to the dense path), with
+    # precond="cs" not at all (Cauchy-Schwarz bound, see below)
+    need_A = (not segmented) or precond == "exact"
+
     if B > 0:
         # arm x basis planes g[side][x] = (3K,): (r x basis_b)_x per contact
         def arm_cross(r, sign):
@@ -625,6 +892,7 @@ def solve_contact_qp(
         invm_pt3 = jnp.tile(invm_pt, 3)  # (3K,)
         invm_col3 = jnp.tile(invm_col, 3)
 
+    if B > 0 and need_A:
         # same-body pair masks, expanded to (3K, 3K) by basis-major tiling
         def pair_mask(bm, vm, bn, vn):
             m = (bm[:, None] == bn[None, :]) & vm[:, None] & vn[None, :]
@@ -656,18 +924,122 @@ def solve_contact_qp(
     b = jnp.concatenate([b3[0] - bias, b3[1], b3[2]])  # (3K,)
 
     reg = compliance
-    act_cols = jnp.tile(act, 3)
-    row_sum = jnp.sum(jnp.abs(A) * act_cols[None, :], axis=1)
-    row_sum = jnp.max(row_sum.reshape(3, K), axis=0)  # (K,)
+    on_pt_f = valid_pt.astype(jnp.float32)
+    on_col_f = valid_col.astype(jnp.float32)
+    if B > 0 and (segmented or precond == "cs"):
+        oh_pt = ((jnp.arange(B, dtype=jnp.int32)[:, None]
+                  == contacts.body_pt[None, :])
+                 & valid_pt[None, :]).astype(jnp.float32)  # (B, K)
+        oh_col = ((jnp.arange(B, dtype=jnp.int32)[:, None]
+                   == contacts.body_col[None, :])
+                  & valid_col[None, :]).astype(jnp.float32)
+
+    if need_A:
+        act_cols = jnp.tile(act, 3)
+        row_sum = jnp.sum(jnp.abs(A) * act_cols[None, :], axis=1)
+        row_sum = jnp.max(row_sum.reshape(3, K), axis=0)  # (K,)
+    else:
+        # Cauchy-Schwarz bound: A is PSD so |A_kj| <= sqrt(A_kk A_jj); rows
+        # couple only through a shared body or the robot, so
+        # rowsum_k <= s_k * (T[body_pt(k)] + T[body_col(k)] + rob_k * T_rob)
+        # with s = sqrt(diag A) and T the per-body/robot s-mass. An upper
+        # bound => smaller Jacobi steps (never divergence); heap physics
+        # quality is pinned by tests/test_segmented_qp.py
+        diag_r = jnp.sum(W * Jr, axis=1)  # (3K,)
+        if B > 0:
+            # invm_pt / u_rot_pt are already validity-masked (zero rows for
+            # static/kinematic/robot-owned sides)
+            diag_b = (invm_pt3 + sum(g_pt[x] * u_rot_pt[x] for x in range(3))
+                      + invm_col3
+                      + sum(g_col[x] * u_rot_col[x] for x in range(3)))
+        else:
+            diag_b = 0.0
+        s = jnp.sqrt(jnp.maximum(diag_r + diag_b, 0.0))  # (3K,)
+        s3 = s.reshape(3, K)
+        sc = jnp.sum(s3, axis=0) * act  # (K,) per-contact s-mass
+        rob = (((contacts.link_pt >= 0) | (contacts.link_col >= 0)) & act)
+        t_rob = jnp.sum(jnp.where(rob, sc, 0.0))
+        per_k = rob.astype(jnp.float32) * t_rob
+        if B > 0:
+            T = (jax.lax.dot_general(oh_pt, sc[:, None],
+                                     (((1,), (0,)), ((), ())), precision=HI)
+                 + jax.lax.dot_general(oh_col, sc[:, None],
+                                       (((1,), (0,)), ((), ())), precision=HI)
+                 )[:, 0]  # (B,)
+            per_k = per_k + on_pt_f * T[bpt] + on_col_f * T[bcl]
+        row_sum = jnp.max(s3, axis=0) * per_k
     alpha = 1.0 / (jnp.maximum(row_sum, 1e-6) + reg)
     mu = jnp.where(act, contacts.friction, 0.0)
 
-    from .kernels.qp import qp_iterations
+    from .kernels.qp import _project_cone_bm, qp_iterations
 
-    lam = qp_iterations(
-        A, b, alpha, mu, act,
-        iterations=iterations, reg=reg, use_pallas=use_pallas,
-    )
+    if segmented:
+        # matrix-free projected Jacobi: per iteration the body coupling is
+        # (scatter contact wrenches to bodies via (B, K) one-hot matmuls)
+        # -> (apply per-body inverse mass/inertia) -> (gather responses back
+        # to contacts). HBM per iteration is O(B + K), vs the dense path
+        # re-reading the (3K, 3K) Delassus every iteration (2.7 GB/substep
+        # at Search scale: B=132, K=192, 128 envs)
+        rpx, rpy, rpz = r_pt
+        rcx, rcy, rcz = r_col
+
+        def Aop(lam):
+            t = jax.lax.dot_general(lam, Jr, (((0,), (0,)), ((), ())),
+                                    precision=HI)  # (D,) = Jr^T lam
+            a_r = jax.lax.dot_general(W, t, (((1,), (0,)), ((), ())),
+                                      precision=HI)  # (3K,)
+            if B == 0:
+                return a_r
+            lam3 = lam.reshape(3, K)
+            fx = bw[0][0] * lam3[0] + bw[1][0] * lam3[1] + bw[2][0] * lam3[2]
+            fy = bw[0][1] * lam3[0] + bw[1][1] * lam3[1] + bw[2][1] * lam3[2]
+            fz = bw[0][2] * lam3[0] + bw[1][2] * lam3[1] + bw[2][2] * lam3[2]
+            tpx = rpy * fz - rpz * fy
+            tpy = rpz * fx - rpx * fz
+            tpz = rpx * fy - rpy * fx
+            tcx = rcy * fz - rcz * fy
+            tcy = rcz * fx - rcx * fz
+            tcz = rcx * fy - rcy * fx
+            Fp = jnp.stack([fx, fy, fz, tpx, tpy, tpz], axis=1)  # (K, 6)
+            Fc = jnp.stack([fx, fy, fz, tcx, tcy, tcz], axis=1)
+            U = (jax.lax.dot_general(oh_pt, Fp, (((1,), (0,)), ((), ())),
+                                     precision=HI)
+                 - jax.lax.dot_general(oh_col, Fc, (((1,), (0,)), ((), ())),
+                                       precision=HI))  # (B, 6)
+            vb = inv_mass_b[:, None] * U[:, :3]
+            wb = jnp.einsum("bxy,by->bx", inv_inertia_w, U[:, 3:],
+                            precision=HI)
+            vw = jnp.concatenate([vb, wb], axis=1)  # (B, 6): ONE gather/side
+            g_p, g_c = vw[bpt], vw[bcl]
+            vp, wp = g_p[:, 0:3], g_p[:, 3:6]
+            vc, wc = g_c[:, 0:3], g_c[:, 3:6]
+            dux = (on_pt_f * (vp[:, 0] + wp[:, 1] * rpz - wp[:, 2] * rpy)
+                   - on_col_f * (vc[:, 0] + wc[:, 1] * rcz - wc[:, 2] * rcy))
+            duy = (on_pt_f * (vp[:, 1] + wp[:, 2] * rpx - wp[:, 0] * rpz)
+                   - on_col_f * (vc[:, 1] + wc[:, 2] * rcx - wc[:, 0] * rcz))
+            duz = (on_pt_f * (vp[:, 2] + wp[:, 0] * rpy - wp[:, 1] * rpx)
+                   - on_col_f * (vc[:, 2] + wc[:, 0] * rcy - wc[:, 1] * rcx))
+            ab = jnp.concatenate(
+                [bw[c][0] * dux + bw[c][1] * duy + bw[c][2] * duz
+                 for c in range(3)])
+            return a_r + ab
+
+        def body_it(_, lam):
+            grad = Aop(lam) + reg * lam + b
+            lam2 = lam.reshape(3, K) - alpha[None, :] * grad.reshape(3, K)
+            lam2 = _project_cone_bm(lam2, mu)
+            lam2 = jnp.where(act[None, :], lam2, 0.0)
+            return lam2.reshape(3 * K)
+
+        from .kernels.qp import qp_first_iterate
+
+        lam = jax.lax.fori_loop(0, iterations - 1, body_it,
+                                qp_first_iterate(b, alpha, mu, act))
+    else:
+        lam = qp_iterations(
+            A, b, alpha, mu, act,
+            iterations=iterations, reg=reg, use_pallas=use_pallas,
+        )
     lam3 = lam.reshape(3, K)  # basis-major
     lam_k = lam3.T  # (K, 3)
     # world impulse components (K,)

@@ -213,8 +213,11 @@ def _factored_single(JrT, Minv, Xb, Yb, vec, veck, *, K, D, iterations, reg):
             jnp.where(on, lty * fsc, 0.0),
         ])
 
-    lam = jax.lax.fori_loop(0, iterations, body,
-                            jnp.zeros(3 * K, dtype=f32))
+    # first iterate from lam = 0 in closed form (one operator apply saved)
+    from .qp import qp_first_iterate
+
+    lam = jax.lax.fori_loop(0, iterations - 1, body,
+                            qp_first_iterate(b, alpha, mu, act))
     dqd = WT @ lam  # (D,)
     lam3 = jnp.stack([lam[0:K], lam[K:2 * K], lam[2 * K:3 * K]])
     return lam3, dqd

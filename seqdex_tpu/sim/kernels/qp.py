@@ -39,6 +39,14 @@ def _project_cone_bm(lam3, mu):
     return jnp.stack([ln_out, ltx * f, lty * f])
 
 
+def qp_first_iterate(b, alpha, mu, act):
+    """Closed form of the first projected-Jacobi step from lam = 0:
+    lam_1 = project(-alpha * b) — skips one full operator application."""
+    K = mu.shape[0]
+    lam = _project_cone_bm(-alpha[None, :] * b.reshape(3, K), mu)
+    return jnp.where(act[None, :], lam, 0.0).reshape(3 * K)
+
+
 def qp_iterations_reference(A, b, alpha, mu, act, *, iterations: int, reg: float):
     """Pure-jnp per-env loop (vmapped by the caller). A: (3K, 3K), rest (K,)/(3K,)."""
     K = mu.shape[0]
@@ -50,7 +58,8 @@ def qp_iterations_reference(A, b, alpha, mu, act, *, iterations: int, reg: float
         lam2 = jnp.where(act[None, :], lam2, 0.0)
         return lam2.reshape(3 * K)
 
-    return jax.lax.fori_loop(0, iterations, body, jnp.zeros_like(b))
+    return jax.lax.fori_loop(0, iterations - 1, body,
+                             qp_first_iterate(b, alpha, mu, act))
 
 
 def _qp_kernel(A_ref, b_ref, alpha_ref, mu_ref, act_ref, lam_ref, *,
@@ -85,9 +94,24 @@ def _qp_kernel(A_ref, b_ref, alpha_ref, mu_ref, act_ref, lam_ref, *,
         lty2 = jnp.where(on, lty * f, 0.0)
         return jnp.concatenate([ln2, ltx2, lty2], axis=1)
 
-    lam_ref[:] = jax.lax.fori_loop(
-        0, iterations, body, jnp.zeros_like(b)
-    )
+    # first iterate from lam = 0 in closed form (see qp_first_iterate)
+    ln0 = -alpha * b[:, 0:K]
+    ltx0 = -alpha * b[:, K:2 * K]
+    lty0 = -alpha * b[:, 2 * K:3 * K]
+    tn0 = jnp.sqrt(ltx0 * ltx0 + lty0 * lty0)
+    inside0 = tn0 <= mu * ln0
+    below0 = mu * tn0 <= -ln0
+    scale0 = jnp.maximum(mu * tn0 + ln0, 0.0) / (mu * mu + 1.0)
+    f0 = jnp.where(inside0, 1.0,
+                   jnp.where(below0, 0.0,
+                             mu * scale0 / jnp.maximum(tn0, 1e-9)))
+    on0 = act > 0.0
+    lam0 = jnp.concatenate(
+        [jnp.where(on0, jnp.where(inside0, ln0,
+                                  jnp.where(below0, 0.0, scale0)), 0.0),
+         jnp.where(on0, ltx0 * f0, 0.0),
+         jnp.where(on0, lty0 * f0, 0.0)], axis=1)
+    lam_ref[:] = jax.lax.fori_loop(0, iterations - 1, body, lam0)
 
 
 def qp_iterations(A, b, alpha, mu, act, *, iterations: int, reg: float,

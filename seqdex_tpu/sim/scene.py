@@ -99,6 +99,12 @@ class CompiledScene:
     col_size: np.ndarray  # (C, 3)
     col_friction: np.ndarray  # (C,)
     pair_mask: np.ndarray  # (P, C) bool
+    # geom identity ids (for arithmetic pair-legality re-derivation in the
+    # neighbor-list narrowphase): geom entry index + collision group
+    pt_entry: np.ndarray = None  # (P,)
+    pt_group_id: np.ndarray = None  # (P,)
+    col_entry: np.ndarray = None  # (C,)
+    col_group_id: np.ndarray = None  # (C,)
 
     def body_index(self, name: str) -> int:
         return self.body_names.index(name)
@@ -225,4 +231,8 @@ def compile_scene(
         col_size=np.array(col_size, dtype=np.float64).reshape(C, 3),
         col_friction=np.array(col_friction),
         pair_mask=pair_mask,
+        pt_entry=np.array(pt_owner_entry, dtype=np.int32),
+        pt_group_id=np.array(pt_group, dtype=np.int32),
+        col_entry=np.array(col_owner_entry, dtype=np.int32),
+        col_group_id=np.array(col_group, dtype=np.int32),
     )

@@ -111,6 +111,19 @@ class SimConfig:
     # Newton-Schulz (slow; for accuracy cross-checks)
     minv_exact: bool = False
     minv_ns_iters: int = 2
+    # matrix-free QP iterations (scatter wrenches to bodies / gather
+    # responses instead of re-reading the (3K,3K) Delassus each iteration).
+    # None = auto: on for heap-scale scenes (B > 8). With
+    # contact_precond="exact" the Jacobi step sizes are identical to the
+    # dense path (A assembled once for the row-sum); "cs" skips A entirely
+    # via a Cauchy-Schwarz row-sum bound (smaller, always-safe steps)
+    contact_segmented: object = None
+    contact_precond: str = "exact"
+    # neighbor-list narrowphase (contact.py docstring): None = auto (on for
+    # heap-scale point x collider products), True/False = force
+    neighbor_list: object = None
+    nl_candidates: int = 64
+    nl_group_size: int = 64
 
 
 def default_drive_params(ndof: int, arm_dofs: int = 7):
@@ -147,7 +160,10 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
     mass_matrix, bias_forces, link_jacobians, com_world = make_dynamics(
         art, gravity=config.gravity
     )
-    narrowphase, point_world_fn = make_narrowphase(scene, config.max_contacts)
+    narrowphase, point_world_fn = make_narrowphase(
+        scene, config.max_contacts, neighbor_list=config.neighbor_list,
+        nl_candidates=config.nl_candidates,
+        nl_group_size=config.nl_group_size)
 
     kp = jnp.asarray(config.stiffness if config.stiffness else default_drive_params(D)[0],
                      dtype=jnp.float32)
@@ -187,6 +203,10 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
         # the factored body-coupling assembly carries 6*B rows per env —
         # for heap-scale scenes (Search: B = 132) the XLA path stays cheaper
         use_pallas = False
+    segmented = (B > 8 if config.contact_segmented is None
+                 else bool(config.contact_segmented))
+    if use_pallas:
+        segmented = False
     if use_pallas:
         from .kernels.fused_contact import make_fused_solver
 
@@ -313,8 +333,31 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             com_b = (jnp.asarray(scene.body_com, dtype=jnp.float32)
                      if state.geom is None else state.geom.com)
             com_w = state.body_pos + quat_apply(state.body_quat, com_b)
-            cw_pt = com_w[jnp.clip(body_of_pt, 0, B - 1)]  # (K, 3) tiny gather
-            cw_col = com_w[jnp.clip(body_of_col, 0, B - 1)]
+            # ONE combined (B, 19) table gather per contact side (gather
+            # cost is ~latency-per-row: the 6 separate (K, 3) + inverse-mass
+            # + inverse-inertia gathers measured ~8 ms/substep at Search
+            # scale). Columns: com_w(3) v_free(3) w_free(3) inv_mass(1)
+            # Iw_inv(9) — the solver consumes the pre-gathered mass slices
+            inv_mass_eff = inv_mass_e / state.mass_scale
+            Iw_inv_eff = Iw_inv / state.mass_scale
+            bodytab = jnp.concatenate(
+                [com_w, v_free, w_free, inv_mass_eff[:, None],
+                 Iw_inv_eff.reshape(B, 9)], axis=1)
+            g_pt = bodytab[jnp.clip(body_of_pt, 0, B - 1)]  # (K, 19)
+            g_col = bodytab[jnp.clip(body_of_col, 0, B - 1)]
+            cw_pt, vb_pt, wb_pt = g_pt[:, 0:3], g_pt[:, 3:6], g_pt[:, 6:9]
+            cw_col, vb_col, wb_col = (g_col[:, 0:3], g_col[:, 3:6],
+                                      g_col[:, 6:9])
+            valid_pt_f = body_of_pt >= 0
+            valid_col_f = body_of_col >= 0
+            pre_gathered = (
+                g_pt[:, 9] * valid_pt_f,
+                g_col[:, 9] * valid_col_f,
+                g_pt[:, 10:19].reshape(-1, 3, 3)
+                * valid_pt_f[:, None, None],
+                g_col[:, 10:19].reshape(-1, 3, 3)
+                * valid_col_f[:, None, None],
+            )
             r_pt = (contacts.px - cw_pt[:, 0], contacts.py - cw_pt[:, 1],
                     contacts.pz - cw_pt[:, 2])
             r_col = (contacts.px - cw_col[:, 0], contacts.py - cw_col[:, 1],
@@ -323,6 +366,7 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             zK = jnp.zeros_like(contacts.px)
             r_pt = (zK, zK, zK)
             r_col = (zK, zK, zK)
+            pre_gathered = None
 
         # relative velocity at contact, using free (post-drive) velocities
         vrx = Jx @ qd_free  # (K,) — robot side already (point - collider)
@@ -331,10 +375,6 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
         if B > 0:
             on_pt = (body_of_pt >= 0).astype(jnp.float32)
             on_col = (body_of_col >= 0).astype(jnp.float32)
-            vb_pt = v_free[jnp.clip(body_of_pt, 0, B - 1)]  # (K, 3)
-            wb_pt = w_free[jnp.clip(body_of_pt, 0, B - 1)]
-            vb_col = v_free[jnp.clip(body_of_col, 0, B - 1)]
-            wb_col = w_free[jnp.clip(body_of_col, 0, B - 1)]
             rpx, rpy, rpz = r_pt
             rcx, rcy, rcz = r_col
             vrx = vrx + on_pt * (vb_pt[:, 0] + wb_pt[:, 1] * rpz - wb_pt[:, 2] * rpy) \
@@ -344,7 +384,6 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             vrz = vrz + on_pt * (vb_pt[:, 2] + wb_pt[:, 0] * rpy - wb_pt[:, 1] * rpx) \
                 - on_col * (vb_col[:, 2] + wb_col[:, 0] * rcy - wb_col[:, 1] * rcx)
 
-        inv_mass_eff = inv_mass_e / state.mass_scale
         sol = solve_contact_qp(
             contacts,
             (Jx, Jy, Jz),
@@ -352,14 +391,18 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             r_col,
             (vrx, vry, vrz),
             Minv,
-            inv_mass_eff,
+            (inv_mass_e / state.mass_scale) if B > 0
+            else jnp.zeros(0, dtype=jnp.float32),
             (Iw_inv / state.mass_scale) if B > 0 else jnp.zeros((0, 3, 3), dtype=jnp.float32),
+            pre_gathered=pre_gathered,
             dt=h,
             baumgarte=config.baumgarte,
             compliance=config.compliance,
             iterations=config.solver_iterations,
             max_depenetration_vel=config.max_depenetration_vel,
             fused_solver=fused_solver,
+            segmented=segmented,
+            precond=config.contact_precond,
         )
 
         qd_new = qd_free + sol.dqd
