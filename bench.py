@@ -97,6 +97,20 @@ def main():
                   flush=True)
 
         try:
+            # reference-scale cluttered GraspSim scene (72 distractor bricks
+            # + plate + bin, `..._grasp_sim.py:706-745`) — VERDICT r3 item 5
+            cenv = make_grasp_sim_env(GraspSimConfig(clutter=True))
+            n_cl = int(os.environ.get("BENCH_CLUTTER_ENVS", "512"))
+            rate = rollout_rate(cenv, n_cl, max(iters // 3, 5),
+                                max(warmup // 3, 5))
+            emit("grasp_sim_clutter72_env_steps_per_sec_per_chip", rate,
+                 "env_steps/s/chip")
+            del cenv
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": "grasp_clutter", "error": str(e)}),
+                  flush=True)
+
+        try:
             from seqdex_tpu.rl.ppo import PPOConfig, make_ppo
 
             cfg = PPOConfig(num_envs=num_envs)

@@ -22,6 +22,9 @@ def parse_args(argv=None):
     p.add_argument("--tvalue_rollouts", type=int, default=10000)
     p.add_argument("--logdir", default="runs/bi_opt")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--warm_start", action="store_true",
+                   help="initialize stage policies from the newest "
+                        "runs/<stage>_r*/<task>_best.npz checkpoints")
     return p.parse_args(argv)
 
 
@@ -82,6 +85,31 @@ def main(argv=None):
             seed=args.seed,
         ),
     )
+    if args.warm_start and args.task == "BlockAssembly":
+        import glob as _glob
+        import os as _os
+
+        import jax as _jax
+
+        from ..distributed.checkpoint import load_params
+        from ..rl import networks as _networks
+
+        names = {"search": "BlockAssemblySearch",
+                 "orient": "BlockAssemblyOrient",
+                 "grasp": "BlockAssemblyGraspSim",
+                 "insert": "BlockAssemblyInsertSim"}
+        for spec in stages:
+            cands = sorted(_glob.glob(
+                f"runs/{spec.name}_r*/{names[spec.name]}_best.npz"))
+            if not cands:
+                continue
+            env0 = spec.env_factory()
+            tmpl = _networks.init_actor_critic(
+                _jax.random.PRNGKey(0), env0.num_obs, env0.num_states,
+                env0.num_actions)
+            opt.policies[spec.name] = load_params(cands[-1], tmpl)
+            print(f"warm-started {spec.name} from {cands[-1]}", flush=True)
+            del env0
     policies = opt.run()
     opt.save_reservoirs(args.logdir)
     opt.save_tvalues(args.logdir)

@@ -70,7 +70,11 @@ class ChainEvalConfig:
     heap_bricks: int = 12
     heap_pool: int = 16
     settle_steps: int = 50
-    lego_type: str = "1x2"
+    # "all" (default): the heap carries mixed brick types (type = i % 8 like
+    # Search, `search.py:610`) and the kinematic socket is the union slot
+    # re-typed per env to the target brick's type via the multitype runtime
+    # tables; a single name compiles the old single-type scene
+    lego_type: str = "all"
     substeps: int = 2
     solver_iterations: int = 16
     max_contacts: int = 128
@@ -109,19 +113,29 @@ def phase_of(progress):
 
 
 def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
+    from . import multitype
+
+    multi = cfg.lego_type == "all"
     art_spec = builders.franka_allegro()
-    bricks = [
-        builders.lego_brick(cfg.lego_type, name=f"brick{i}")
+    brick_types = [
+        (builders.LEGO_TYPES[i % 8] if multi else cfg.lego_type)
         for i in range(cfg.heap_bricks)
     ]
+    bricks = [
+        builders.lego_brick(t, name=f"brick{i}")
+        for i, t in enumerate(brick_types)
+    ]
+    socket_kind = multitype.UNION_BRICK_KIND if multi else cfg.lego_type
     socket = dataclasses.replace(
-        builders.lego_brick(cfg.lego_type, name="socket"), kinematic=True
+        builders.lego_brick(socket_kind, name="socket"), kinematic=True
     )
     scene = compile_scene(
         art_spec,
         bodies=bricks + [socket],
         statics=[builders.table(), builders.ground()] + builders.bin_walls(),
     )
+    type_tables = (multitype.build_type_tables(scene, "socket")
+                   if multi else None)
     art = scene.art
     _force_links = tuple(art.link_index(n) for n in builders.FSR_LINKS)
     sim = make_sim(
@@ -155,11 +169,24 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
     cam_offset_pos = jnp.asarray([0.03, 0.009, 0.174], dtype=jnp.float32)
     seg_camera = make_segmentation_camera(cfg.camera_res, cfg.camera_res)
     cam_scale = (128 / cfg.camera_res) ** 2
+    # per-body camera bounding halves (mixed types; socket row = the largest
+    # footprint — it only occludes, it is never the segmentation target)
     brick_half = jnp.asarray(
-        [builders._LEGO_FOOTPRINT[cfg.lego_type][0] * builders.LEGO_UNIT / 2,
-         builders._LEGO_FOOTPRINT[cfg.lego_type][1] * builders.LEGO_UNIT / 2,
-         builders.LEGO_BODY_HALF_H], dtype=jnp.float32,
-    )
+        [[builders._LEGO_FOOTPRINT[t][0] * builders.LEGO_UNIT / 2,
+          builders._LEGO_FOOTPRINT[t][1] * builders.LEGO_UNIT / 2,
+          builders.LEGO_BODY_HALF_H] for t in brick_types]
+        + [[max(builders._LEGO_FOOTPRINT[t][0] for t in set(brick_types))
+            * builders.LEGO_UNIT / 2,
+            max(builders._LEGO_FOOTPRINT[t][1] for t in set(brick_types))
+            * builders.LEGO_UNIT / 2,
+            builders.LEGO_BODY_HALF_H]], dtype=jnp.float32,
+    )  # (NB + 1, 3)
+    brick_type_idx = jnp.asarray(
+        [builders.LEGO_TYPES.index(t) if t in builders.LEGO_TYPES else 0
+         for t in brick_types], dtype=jnp.int32)
+    # per-type emergence pixel thresholds at 128x128 (`search.py:1289`)
+    from .search import _SEG_SUCCESS_THRESHOLD
+    seg_threshold = jnp.asarray(_SEG_SUCCESS_THRESHOLD, dtype=jnp.float32)
 
     search_like = SearchConfig(
         heap_bricks=NB, heap_pool=cfg.heap_pool, settle_steps=cfg.settle_steps,
@@ -210,9 +237,8 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
 
         cam_pos = fk_res.pos[camera_link]
         cam_quat = fk_res.quat[camera_link]
-        half = jnp.tile(brick_half, (NB + 1, 1))
         count, cx, cy = seg_camera(
-            cam_pos, cam_quat, tb, s.body_pos, s.body_quat, half
+            cam_pos, cam_quat, tb, s.body_pos, s.body_quat, brick_half
         )
         count = count * cam_scale
 
@@ -277,7 +303,8 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
         ins = ins.at[68:71].set(tgt_pos - sock_tgt)
         ins = ins.at[71:75].set(quat_mul(tgt_rot, quat_conjugate(state.socket_rot)))
 
-        return {"dig": dig, "spin": spin, "grasp": grasp, "insert": ins}, sock_tgt
+        return ({"dig": dig, "spin": spin, "grasp": grasp, "insert": ins},
+                sock_tgt, count)
 
     def reset(key) -> ChainTaskState:
         k0, k1, k2, k3 = jax.random.split(key, 4)
@@ -291,6 +318,10 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
         )
         body_pos = jnp.concatenate([heap_pos[h], sp[None]], axis=0)
         body_quat = jnp.concatenate([heap_quat[h], sq[None]], axis=0)
+        if type_tables is not None:
+            # re-type the union socket slot to the target brick's type
+            s = s._replace(geom=multitype.geom_for_type(
+                type_tables, brick_type_idx[target]))
         s = s._replace(
             q=default_q, qd=jnp.zeros(D, dtype=jnp.float32), ctrl=default_q,
             body_pos=body_pos, body_quat=body_quat,
@@ -313,7 +344,7 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
             inserted=jnp.bool_(False),
         )
         fk_res = sim.fk(s.q, s.qd)
-        frames, _ = _observe(state, fk_res)
+        frames, _, _ = _observe(state, fk_res)
         obs = {k: push_frame(state.obs[k], v) for k, v in frames.items()}
         return state._replace(obs=obs)
 
@@ -366,7 +397,7 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
         state = state._replace(sim=s, progress=prog, prev_targets=targets, actions=action)
 
         fk2 = sim.fk(s.q, s.qd)
-        frames, sock_tgt = _observe(state, fk2)
+        frames, sock_tgt, seg_count = _observe(state, fk2)
         obs = {k: push_frame(state.obs[k], v) for k, v in frames.items()}
 
         tgt_pos = s.body_pos[tb]
@@ -389,11 +420,17 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
         lift = tgt_pos[2] - state.target_init_pos[2]
         z_axis = quat_apply(tgt_rot, jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32))
         z_align = jnp.sign(z_axis[2]) * z_axis[2] ** 2
-        # per-phase completion predicates (dig: block reachable/unburied ~
-        # moved; spin: face-up; grasp: lifted & held; insert: predicate)
-        dug = jnp.linalg.norm(tgt_pos[:2] - state.target_init_pos[:2]) < 0.2
+        # per-phase completion predicates. dig advances on the reference GUI
+        # criterion — hand base within L1 reach of the target
+        # (`is_search_success`, `gui.py:2714-2721`: sum |pos_err| < 0.03 +
+        # 0.24 + 0.18) — AND the target's segmentation emergence above its
+        # per-type pixel threshold (`search.py:1289` success table), i.e.
+        # the block is actually dug out and visible, not merely nearby
+        reach_err = jnp.sum(jnp.abs(tgt_pos - fk2.pos[hand_base]))
+        emerged = seg_count >= seg_threshold[brick_type_idx[tb]]
+        dug = (reach_err < 0.45) & emerged
         phase_ok = jnp.stack([
-            dug & (z_align > -0.5),        # dig: target not lost/buried deeper
+            dug,                           # dig (`is_search_success` + emergence)
             z_align > 0.8,                 # spin: face-up (`is_spin_success`)
             (lift > 0.08),                 # grasp: lifted (`is_grasping_success`)
             insert_ok,                     # insert (`is_insertion_success`)
@@ -441,6 +478,7 @@ def make_chain_eval_env(cfg: ChainEvalConfig = ChainEvalConfig()) -> Env:
                 "phase": phase,
                 "retries": state.retries,
                 "inserted": inserted.astype(jnp.float32),
+                "terminal_type": brick_type_idx[tb],
                 "pos_dist": pos_dist,
                 "rot_dist": rot_dist,
                 "obs_dig": clip_obs(obs["dig"].reshape(-1)),

@@ -71,6 +71,15 @@ class GraspSimConfig:
     substeps: int = 2
     solver_iterations: int = 16
     max_contacts: int = 48
+    # reference-scale scene clutter (`..._grasp_sim.py:706-745`: 9 layers x
+    # 8 lego types dropped into the bin + the baseplate): adds
+    # `clutter_bricks` mixed-type distractor bricks (settled pool, reset-
+    # sampled), the bin walls, and the kinematic baseplate to every env.
+    # Off by default (the clean scene trains faster); the flagship bench
+    # reports both numbers.
+    clutter: bool = False
+    clutter_bricks: int = 72
+    clutter_pool: int = 8
     obs_noise: bool = True
     # random-force fault injection (reference `forceScale`/`forceProbRange`
     # decay model, `..._grasp_sim.py:129-132`, applied `search.py:1578-1589`)
@@ -132,11 +141,18 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
     art_spec = builders.franka_allegro()
     brick = builders.lego_brick(
         multitype.UNION_BRICK_KIND if multi else cfg.lego_type, name="target")
-    scene = compile_scene(
-        art_spec,
-        bodies=[brick],
-        statics=[builders.table(), builders.ground()],
-    )
+    bodies = [brick]
+    statics = [builders.table(), builders.ground()]
+    if cfg.clutter:
+        # reference scene budget: mixed-type distractor pile in the bin +
+        # bin walls + baseplate (`..._grasp_sim.py:706-745`)
+        bodies += [
+            builders.lego_brick(builders.LEGO_TYPES[i % 8], name=f"clutter{i}")
+            for i in range(cfg.clutter_bricks)
+        ]
+        bodies.append(builders.baseplate())
+        statics += builders.bin_walls()
+    scene = compile_scene(art_spec, bodies=bodies, statics=statics)
     type_tables = multitype.build_type_tables(scene) if multi else None
     num_types = len(builders.LEGO_TYPES)
     art = scene.art
@@ -146,7 +162,8 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         SimConfig(
             substeps=cfg.substeps,
             solver_iterations=cfg.solver_iterations,
-            max_contacts=cfg.max_contacts,
+            max_contacts=(cfg.max_contacts if not cfg.clutter
+                          else max(cfg.max_contacts, 160)),
             force_links=_force_links,
         ),
     )
@@ -174,6 +191,41 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
     default_q = default_q.at[:7].set(jnp.asarray(builders.DEFAULT_ARM_QPOS, dtype=jnp.float32))
     # fingers start at their upper limits (reference `..._grasp_sim.py:252-253`)
     default_q = default_q.at[7:23].set(hand_upper)
+
+    # ---- clutter pile pool (host, once): drop + settle the distractors ----
+    _plate_pos = jnp.asarray([0.25, -0.19, 0.62], dtype=jnp.float32)
+    if cfg.clutter:
+        from .search import SearchConfig as _SC
+        from .search import _heap_drop_layout
+
+        _rng = np.random.RandomState(7)
+        _sc = _SC(heap_bricks=cfg.clutter_bricks)
+        _drops = [_heap_drop_layout(_sc, _rng) for _ in range(cfg.clutter_pool)]
+        _pos0 = jnp.asarray(np.stack([d[0] for d in _drops]))
+        _quat0 = jnp.asarray(np.stack([d[1] for d in _drops]))
+        _nclut = cfg.clutter_bricks
+        _plate_body = 1 + _nclut
+
+        def _settle_clutter(bp, bq):
+            s = sim.init_state(default_q)
+            body_pos = s.body_pos.at[1:1 + _nclut].set(bp)
+            body_quat = s.body_quat.at[1:1 + _nclut].set(bq)
+            # park the target out of the pile; pin the kinematic plate
+            body_pos = body_pos.at[0].set(
+                jnp.asarray([0.6, -0.6, 0.7], dtype=jnp.float32))
+            body_pos = body_pos.at[_plate_body].set(_plate_pos)
+            s = s._replace(q=default_q, ctrl=default_q, body_pos=body_pos,
+                           body_quat=body_quat)
+            s = jax.lax.fori_loop(0, 50, lambda _, st: sim.step(st), s)
+            return s.body_pos[1:1 + _nclut], s.body_quat[1:1 + _nclut]
+
+        _cp, _cq = jax.jit(jax.vmap(_settle_clutter))(_pos0, _quat0)
+        clutter_pos = jnp.asarray(np.asarray(_cp))
+        clutter_quat = jnp.asarray(np.asarray(_cq))
+        # settled pile top: the synthetic target pose spawns above it
+        _pile_top = float(np.asarray(_cp)[..., 2].max())
+    else:
+        _pile_top = None
 
     prep1 = jnp.asarray(_INSERT_PREPARE_1, dtype=jnp.float32)
     prep2 = jnp.asarray(_INSERT_PREPARE_2, dtype=jnp.float32)
@@ -246,19 +298,27 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         )
         yaw = cfg.reset_yaw_noise * (jax.random.uniform(k2, ()) * 2 - 1)
         bq_syn = quat_from_angle_axis(yaw, jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32))
-        bp_syn = jnp.concatenate([xy, jnp.asarray([0.619], dtype=jnp.float32)])
+        _tgt_z = 0.619 if not cfg.clutter else _pile_top + 0.02
+        bp_syn = jnp.concatenate([xy, jnp.asarray([_tgt_z], dtype=jnp.float32)])
         # upstream oriented-block terminal pose from the per-type reservoir
         # bucket (`..._grasp_sim.py:1448-1455`); empty bucket -> synthetic
         samp = reslib.sample(ctx["reservoir"], k1, t)
         have = ctx["reservoir"].count[t] > 0
         bp = jnp.where(have, samp["pos"], bp_syn)
         bq = jnp.where(have, samp["rot"], bq_syn)
+        body_pos = s.body_pos.at[target_body].set(bp)
+        body_quat = s.body_quat.at[target_body].set(bq)
+        if cfg.clutter:
+            kh = jax.random.randint(k2, (), 0, cfg.clutter_pool)
+            body_pos = body_pos.at[1:1 + _nclut].set(clutter_pos[kh])
+            body_quat = body_quat.at[1:1 + _nclut].set(clutter_quat[kh])
+            body_pos = body_pos.at[_plate_body].set(_plate_pos)
         s = s._replace(
             q=default_q,
             qd=jnp.zeros(D, dtype=jnp.float32),
             ctrl=default_q,
-            body_pos=s.body_pos.at[target_body].set(bp),
-            body_quat=s.body_quat.at[target_body].set(bq),
+            body_pos=body_pos,
+            body_quat=body_quat,
             body_linvel=jnp.zeros_like(s.body_linvel),
             body_angvel=jnp.zeros_like(s.body_angvel),
         )

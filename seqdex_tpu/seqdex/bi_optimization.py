@@ -143,13 +143,19 @@ class BiOptimizer:
         ts = init(jax.random.PRNGKey(self.cfg.seed + iteration), env_ctx=ctx)
         if init_params is not None:
             ts = ts._replace(params=init_params)
-        ckpt = Checkpointer(
-            os.path.join(self.cfg.logdir, f"it{iteration}_{stage.name}")
-        )
+        stage_dir = os.path.join(
+            self.cfg.logdir,
+            f"it{iteration}_{stage.name}" + ("_bwd" if use_t_value else ""))
+        ckpt = Checkpointer(stage_dir)
+        from ..utils.metrics import MetricsWriter
+
+        writer = MetricsWriter(stage_dir)
         for epoch in range(stage.train_epochs):
             ts, metrics = train_epoch(ts)
-            if epoch % 50 == 0:
-                ckpt.maybe_save(ts, epoch, float(metrics["reward_mean"]), stage.name)
+            if epoch % 50 == 0 or epoch == stage.train_epochs - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                writer.write(epoch, m)
+                ckpt.maybe_save(ts, epoch, m["reward_mean"], stage.name)
         self.policies[stage.name] = ts.params
         # harvest terminal states for the successor stage's resets
         # (`search.py:1304-1355` / `grasp_sim.py:1399-1458` analogs)
@@ -234,7 +240,28 @@ class BiOptimizer:
                     seed=self.cfg.seed + it,
                 )
                 self._fit_tvalue(first, succ, fail)
+            self._write_summary(it)
         return self.policies
+
+    def _write_summary(self, iteration: int):
+        """Per-iteration artifact: reservoir fills + T-value accuracies."""
+        import json
+
+        fills = {}
+        for name, sampler in self.reservoirs.items():
+            if hasattr(sampler, "res"):
+                fills[name] = [int(c) for c in np.asarray(sampler.res.count)]
+        rec = {
+            "iteration": iteration,
+            "reservoir_fills": fills,
+            "tvalue_accuracy": {k: float(v)
+                                for k, v in self.tvalue_accuracy.items()},
+            "tvalue_fitted": sorted(self.tvalues),
+        }
+        os.makedirs(self.cfg.logdir, exist_ok=True)
+        with open(os.path.join(self.cfg.logdir, "summary.jsonl"), "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(f"[bi-opt] iteration {iteration}: {rec}", flush=True)
 
     # ------------------------------------------------------------------
     def save_reservoirs(self, outdir: str):

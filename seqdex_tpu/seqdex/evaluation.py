@@ -81,14 +81,26 @@ def evaluate_gui_chain(env, policies: Dict[str, object], num_envs: int = 16,
     # bootstrap with zero action; phase info arrives with the first step
     action = jnp.zeros((num_envs, env.num_actions))
     inserted, count = 0.0, 0.0
+    t_ins = np.zeros(8)
+    t_cnt = np.zeros(8)
     for _ in range(env.episode_length * episodes):
         state, out = step(state, action)
         action = policy_action(out.info)
         done = np.asarray(out.done, dtype=np.float32)
-        inserted += float((np.asarray(out.info["inserted"]) * done).sum())
+        ins = np.asarray(out.info["inserted"])
+        inserted += float((ins * done).sum())
         count += float(done.sum())
+        if "terminal_type" in out.info:
+            t = np.asarray(out.info["terminal_type"]).astype(int)
+            np.add.at(t_cnt, t, done)
+            np.add.at(t_ins, t, ins * done)
     rate = inserted / max(count, 1.0)
-    log(json.dumps({"gui_chain_success_rate": rate, "episodes": count}))
+    rec = {"gui_chain_success_rate": rate, "episodes": count}
+    if t_cnt.sum() > 0:
+        rec["per_type_success"] = [
+            round(float(t_ins[i] / max(t_cnt[i], 1.0)), 4) for i in range(8)]
+        rec["per_type_episodes"] = [int(c) for c in t_cnt]
+    log(json.dumps(rec))
     return rate
 
 
@@ -100,6 +112,9 @@ def evaluate_chain(
     seed: int = 0,
     log=print,
     collect_envs: int = 64,
+    stage_tvalues: Dict[str, object] = None,
+    collect_target: int = 100,
+    collect_max_rounds: int = 8,
 ):
     """Run the chain Search -> Orient -> GraspSim -> InsertSim with REAL
     state flow: each stage's terminal-state reservoir (harvested from its own
@@ -119,8 +134,13 @@ def evaluate_chain(
     names = list(stage_factories)
     reservoir = None
     chain_rate = 1.0
+    stage_tvalues = stage_tvalues or {}
     for i, name in enumerate(names):
-        env = stage_factories[name](reservoir=reservoir, tvalue_params=None)
+        # the reference plays every sub-task with use_t_value=True
+        # (`scripts/evaluation.py:110-119`) — trained T-value params gate
+        # terminal harvesting/success in the stage envs when provided
+        env = stage_factories[name](reservoir=reservoir,
+                                    tvalue_params=stage_tvalues.get(name))
         rate, count, extras = evaluate_stage(
             env, stage_params[name], num_envs, episodes, seed)
         handed_off = reservoir is not None
@@ -128,19 +148,25 @@ def evaluate_chain(
             "success_rate": rate,
             "episodes": count,
             "resets_from_upstream": bool(handed_off),
+            "tvalue_gated": name in stage_tvalues,
             **extras,
         }
         chain_rate *= rate
         reservoir = None
         if i < len(names) - 1 and env.collect_terminal_states is not None:
-            reservoir = env.collect_terminal_states(
-                stage_params[name], num_envs=min(num_envs, collect_envs),
-                seed=seed)
-            fill = (
-                int(np.asarray(reservoir.res.count).sum())
-                if hasattr(reservoir, "res") else 0
-            )
+            # harvest until per-type fills reach collect_target (conditional
+            # rates over 1-4-sample reset distributions are noise)
+            for rnd in range(collect_max_rounds):
+                reservoir = env.collect_terminal_states(
+                    stage_params[name], num_envs=min(num_envs, collect_envs),
+                    seed=seed + 1000 * rnd, sampler=reservoir)
+                counts = (np.asarray(reservoir.res.count)
+                          if hasattr(reservoir, "res") else np.zeros(1))
+                if counts.min() >= collect_target:
+                    break
+            fill = int(counts.sum())
             results[name]["reservoir_fill"] = fill
+            results[name]["reservoir_per_type"] = [int(c) for c in counts]
             if fill == 0:
                 reservoir = None
         log(json.dumps({"stage": name, **results[name]}))

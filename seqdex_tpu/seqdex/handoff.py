@@ -92,6 +92,12 @@ class GraspTerminalSampler:
     def save(self, path):
         reslib.save(path, self.res)
 
+    @classmethod
+    def load(cls, path, ndof: int = 23):
+        out = cls(ndof=ndof)
+        out.res = reslib.load(path, out.template)
+        return out
+
 
 def rollout_collect(env, params, num_envs: int, steps: int, seed: int = 0,
                     keys=(), valid_key: str = "terminal_valid", ctx=None):

@@ -90,12 +90,25 @@ def make_online_hook(env, num_envs: int = 16,
     merged into the trainer's log — a PureRL run has none of these.
     """
     state = {}
+    # reference 23-dim transition-obs protocol (`..._chain_tstar.py:
+    # 1667-1670`): [0:16] hand dofs unscaled to [-1, 1], [16:23] the
+    # segmentation-target pose (pos + quat) — NOT the raw arm+hand q
+    from ..core.math import unscale_from_limits
+
+    art = env.sim.scene.art
+    h_lo = jnp.asarray(art.lower[7:23], dtype=jnp.float32)
+    h_hi = jnp.asarray(art.upper[7:23], dtype=jnp.float32)
+
+    def _snapshot(st):
+        hand = unscale_from_limits(st.sim.q[7:23], h_lo, h_hi)
+        return jnp.concatenate(
+            [hand, st.sim.body_pos[0], st.sim.body_quat[0]])
 
     def hook(policy_params, epoch):
         if not state:
             init, pu = make_tstar(
                 env, cfg, tvalue_in_dim=23, tvalue_hidden=(256, 128, 64),
-                snapshot_fn=lambda st: st.sim.q[:23],
+                snapshot_fn=_snapshot,
                 success_fn=lambda st: st.successes,
             )
             state["ts"] = init(jax.random.PRNGKey(seed + 1))
@@ -111,14 +124,28 @@ def make_online_hook(env, num_envs: int = 16,
             st, out = state["step"](st, obs, policy_params)
             obs = out.obs
         state["ts"], m = state["pu"](state["ts"], st, policy_params)
-        snap = jax.vmap(lambda s: s.sim.q[:23])(st)
+        snap = jax.vmap(_snapshot)(st)
         conf = tvlib.tvalue_confidence(state["ts"].params, snap)
-        acc = jnp.mean((conf > 0.5) == (jax.vmap(
-            lambda s: s.successes)(st) > 0.5))
+        lab = jax.vmap(lambda s: s.successes)(st) > 0.5
+        pred = conf > 0.5
+        acc = jnp.mean(pred == lab)
+        # balanced accuracy — robust to one-class probe batches (a trivial
+        # always-predict-majority net scores 0.5, not 1.0)
+        npos = jnp.maximum(jnp.sum(lab), 1)
+        nneg = jnp.maximum(jnp.sum(~lab), 1)
+        tpr = jnp.sum(pred & lab) / npos
+        tnr = jnp.sum(~pred & ~lab) / nneg
+        has_pos = jnp.any(lab)
+        has_neg = jnp.any(~lab)
+        # mean accuracy over the classes PRESENT in the batch (sklearn
+        # balanced_accuracy convention)
+        bal = jnp.where(has_pos & has_neg, 0.5 * (tpr + tnr),
+                        jnp.where(has_pos, tpr, tnr))
         return {
             "tstar_loss": float(m["loss"]),
             "tstar_success_frac": float(m["success_frac"]),
             "tstar_acc": float(acc),
+            "tstar_balanced_acc": float(bal),
         }
 
     hook.state = state  # exposes the trained T-value (state["ts"].params)

@@ -82,3 +82,27 @@ def test_vmapped_env(env):
     states, out = step(states, actions)
     assert out.obs.shape == (4, 396)
     assert np.isfinite(np.asarray(out.reward)).all()
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_clutter_scene_builds_and_steps():
+    """Reference-scale clutter opt-in (`..._grasp_sim.py:706-745`): 72
+    distractors + baseplate + bin walls; settled pool; env steps finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from seqdex_tpu.envs.block_assembly.grasp_sim import (
+        GraspSimConfig, make_grasp_sim_env)
+
+    env = make_grasp_sim_env(GraspSimConfig(clutter=True, clutter_bricks=16,
+                                            clutter_pool=2))
+    assert env.sim.scene.nbodies == 1 + 16 + 1  # target + clutter + plate
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    st = jax.jit(jax.vmap(env.reset))(keys)
+    # distractors landed in the bin, not at the origin
+    assert float(jnp.abs(st.sim.body_pos[:, 1:17, 2]).min()) > 0.3
+    st, out = jax.jit(jax.vmap(env.step))(st, jnp.zeros((4, env.num_actions)))
+    assert bool(jnp.all(jnp.isfinite(out.obs)))
