@@ -117,8 +117,14 @@ class GraspTaskState(NamedTuple):
 
 
 # insertion-prepare arm poses (`..._grasp_sim.py` arm_hand_insertion_prepare_dof_pos_list)
-_INSERT_PREPARE_1 = (-0.92, -0.26, 0.1, -2.5, 0.1, 2.3, 0.0)
-_INSERT_PREPARE_2 = (-1.0, -0.05, 0.1, -2.2, 0.1, 2.2, 0.0)
+# reference insertion-prepare arm poses (`..._grasp_sim.py:278,281` —
+# arm_hand_insertion_prepare_dof_pos_list): the scripted retract drives the
+# arm here, hovering the held block over the baseplate; these ARE the
+# InsertSim reset arm states
+_INSERT_PREPARE_1 = (-0.1560, -0.2140, -0.2795, -2.1806, -0.0681, 1.9730,
+                     1.1735)
+_INSERT_PREPARE_2 = (-0.1800, -0.1604, -0.2770, -2.2674, -0.0533, 2.1049,
+                     1.1696)
 
 
 def control_ik(j_eef: jnp.ndarray, dpose: jnp.ndarray, damping: float = 0.05):

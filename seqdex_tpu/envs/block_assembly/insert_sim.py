@@ -101,9 +101,12 @@ class InsertTaskState(NamedTuple):
 # grasp_sim `:470` target_euler = [0, 3.1415, 1.571])
 _TARGET_EULER = (0.0, 3.1415, 1.571)
 
-# arm pose holding the block above the plate (synthetic stand-in for the
-# loaded grasp terminal states)
-_HOLD_ARM_QPOS = (-0.92, -0.26, 0.1, -2.5, 0.1, 2.3, 0.0)
+# arm pose holding the block above the plate: the reference's SECOND
+# insertion-prepare pose (`..._grasp_sim.py:281`) — the scripted grasp
+# retract ends here, so grasp terminals and the synthetic stand-in share
+# the same arm state
+_HOLD_ARM_QPOS = (-0.1800, -0.1604, -0.2770, -2.2674, -0.0533, 2.1049,
+                  1.1696)
 
 
 def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
@@ -173,13 +176,25 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
     cam_offset_pos = jnp.asarray([0.03, 0.107 - 0.098, 0.067 + 0.107],
                                  dtype=jnp.float32)
 
-    target_rot_lock = quat_from_euler_xyz(*[jnp.float32(v) for v in _TARGET_EULER])
     z_flip = jnp.asarray([0.0, 0.0, 1.0, 0.0], dtype=jnp.float32)  # 180 deg about z
 
     hold_q = jnp.zeros(D, dtype=jnp.float32)
     hold_q = hold_q.at[:7].set(jnp.asarray(_HOLD_ARM_QPOS, dtype=jnp.float32))
     # fingers part-closed around the brick
     hold_q = hold_q.at[7:23].set(hand_lower + 0.55 * (hand_upper - hand_lower))
+
+    # wrist orientation lock. The reference hardcodes euler (0, pi, 1.571)
+    # (`..._insert_sim.py:444`) — valid in ITS URDF hand_base frame; our
+    # procedural model's hand_base carries a different local frame, so the
+    # semantically identical lock ("hold the insertion-prepare wrist
+    # orientation; early-reset when it drifts", `:1674` rot_err^2 >= 0.03)
+    # is DERIVED from the FK of the canonical prepare pose. With the euler
+    # constant applied verbatim in our frame, every episode died at step 1
+    # (wrist_err^2 ~ 0.75 >= 0.03 at every reachable reset state) — the
+    # r3 insert runs' done_rate 1.0.
+    with jax.ensure_compile_time_eval():
+        _fk_hold = sim.fk(hold_q, jnp.zeros(D, dtype=jnp.float32))
+        target_rot_lock = jnp.asarray(np.asarray(_fk_hold.quat[hand_base]))
 
     def _tip_pos(fk_res):
         idx = jnp.asarray(tips)
@@ -219,7 +234,9 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         fk0 = sim.fk(hold_q, jnp.zeros(D, dtype=jnp.float32))
         palm = fk0.pos[art.link_index("palm_center")]
         nz = (jax.random.uniform(k3, (3,)) * 2 - 1) * 0.005
-        pos_syn = palm + jnp.asarray([0.0, 0.0, -0.02], dtype=jnp.float32) + nz
+        # 4.5 cm below the palm center, inside the finger cage (-0.02 left
+        # the 4-tip distance sum at ~0.6 = exactly the slip-reset threshold)
+        pos_syn = palm + jnp.asarray([0.0, 0.0, -0.045], dtype=jnp.float32) + nz
         rot_syn = quat_mul(
             fk0.quat[hand_base],
             quat_from_euler_xyz(jnp.float32(jnp.pi), jnp.float32(0.0), jnp.float32(0.0)),
