@@ -109,12 +109,16 @@ def main():
 
     common = dict(num_envs=num_envs, episodes=episodes,
                   collect_envs=search_envs, collect_target=collect_target)
-    print("=== ungated chain ===", flush=True)
-    out["chain_ungated"] = evaluate_chain(factories, params, **common)
-    if tvalues:
-        print("=== T-value-gated chain ===", flush=True)
-        out["chain_gated"] = evaluate_chain(
-            factories, params, stage_tvalues=tvalues, **common)
+    if os.environ.get("SKIP_CHAIN", "0") != "1":
+        print("=== ungated chain ===", flush=True)
+        out["chain_ungated"] = evaluate_chain(factories, params, **common)
+        if tvalues:
+            print("=== T-value-gated chain ===", flush=True)
+            out["chain_gated"] = evaluate_chain(
+                factories, params, stage_tvalues=tvalues, **common)
+    elif os.path.exists("runs/r4_chain_eval.json"):
+        prev = json.load(open("runs/r4_chain_eval.json"))
+        out.update({k: v for k, v in prev.items() if k.startswith("chain")})
 
     # --- single-scene GUI-analog chain ---
     try:
@@ -122,16 +126,22 @@ def main():
             ChainEvalConfig, OBS_DIMS, make_chain_eval_env)
         from seqdex_tpu.seqdex.evaluation import evaluate_gui_chain
 
+        from seqdex_tpu.envs.block_assembly.chain_eval import STACKS
+
         env = make_chain_eval_env(ChainEvalConfig())
         policies = {}
-        for phase, (no, ns) in OBS_DIMS.items():
+        for phase, dim in OBS_DIMS.items():
+            no = dim * STACKS[phase]
             tmpl = networks.init_actor_critic(
-                jax.random.PRNGKey(1), no, ns, env.num_actions)
+                jax.random.PRNGKey(1), no, no, env.num_actions)
             src = {"grasp": "grasp", "insert": "insert",
                    "dig": "search", "spin": "orient"}.get(phase)
-            if src and loaded.get(src) and tmpl["actor"]["w0"].shape == \
-                    params[src]["actor"]["w0"].shape:
-                policies[phase] = params[src]
+            # only the actor drives the GUI phases (actor_mu); adopt the
+            # trained actor when its obs width matches this phase's stream
+            if (src and loaded.get(src)
+                    and jax.tree.map(lambda x: x.shape, tmpl.actor)
+                    == jax.tree.map(lambda x: x.shape, params[src].actor)):
+                policies[phase] = tmpl._replace(actor=params[src].actor)
             else:
                 policies[phase] = tmpl
         rate = evaluate_gui_chain(env, policies, num_envs=16, episodes=2)
