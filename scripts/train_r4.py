@@ -176,10 +176,25 @@ def phase_search(args):
         cfglib.load_cfg("BlockAssemblySearch"))
     ppo_kwargs["num_envs"] = int(os.environ.get("SEARCH_ENVS", "128"))
     cfg = PPOConfig(**ppo_kwargs)
-    run_training(env, cfg, "runs/search_r4", "BlockAssemblySearch",
+    # the reference warm-starts Search from a prior checkpoint
+    # (ppo_continuous_retrieve_grasp_v_value_retri.yaml load_checkpoint:
+    # True); SEARCH_WARM restores params only (fresh optimizer/LR state),
+    # SEARCH_RESUME restores the full train state.
+    warm = None
+    w_ck = os.environ.get("SEARCH_WARM", "")
+    if w_ck and os.path.exists(w_ck):
+        tmpl = networks.init_actor_critic(
+            jax.random.PRNGKey(0), env.num_obs, env.num_states,
+            env.num_actions)
+        warm = load_params(w_ck, tmpl)
+        print(f"search warm-start from {w_ck}", flush=True)
+    run_training(env, cfg, os.environ.get("SEARCH_LOGDIR", "runs/search_r4"),
+                 "BlockAssemblySearch",
                  seconds=int(os.environ.get("SEARCH_SECONDS", "4500")),
-                 resume="runs/search_r4/BlockAssemblySearch_resume.npz",
-                 log_every=10, save_every=500)
+                 resume=os.environ.get(
+                     "SEARCH_RESUME",
+                     "runs/search_r4/BlockAssemblySearch_resume.npz"),
+                 warm_params=warm, log_every=10, save_every=500)
 
 
 def phase_orient(args):

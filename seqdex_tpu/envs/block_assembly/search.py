@@ -208,7 +208,12 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
     palm = art.link_index("palm")
     tips = tuple(art.link_index(n) for n in builders.FINGERTIP_LINKS)
     fsr = tuple(art.link_index(n) for n in builders.FSR_LINKS)
-    arm_links = tuple(art.link_index(f"panda_link{i}") for i in range(1, 8))
+    # penalised contact set = reference sensor_handles [0..6] (`search.py:
+    # 919-920`): arm bodies only, NOT the link7 wrist flange — the flange
+    # rides at the heap surface during digs, and penalising it taxes digging
+    # itself (r4 finding: this extra -1/step drove the policy into the
+    # contact-avoidance valley).
+    arm_links = tuple(art.link_index(f"panda_link{i}") for i in range(1, 7))
 
     target_rot_lock = quat_from_euler_xyz(*[jnp.float32(v) for v in _TARGET_EULER])
     # per-brick camera bounding halves (mixed types)
