@@ -70,7 +70,8 @@ def main():
     dims = {"search": (186, 564), "orient": (186, 564), "grasp": (396, 564),
             "insert": (75, 188)}
     ckpts = {
-        "search": ["runs/search_r4/BlockAssemblySearch_best.npz"],
+        "search": ["runs/search_r4b/BlockAssemblySearch_best.npz",
+                   "runs/search_r4/BlockAssemblySearch_best.npz"],
         "orient": ["runs/orient_r4/BlockAssemblyOrient_best.npz",
                    "runs/orient_r3/BlockAssemblyOrient_best.npz"],
         "grasp": ["runs/grasp_r4/BlockAssemblyGraspSim_best.npz",

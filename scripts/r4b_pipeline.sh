@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-4 continuation pipeline: runs the remaining chip jobs back-to-back
+# as soon as the in-flight Insert continuation exits. One job at a time —
+# the chip is single and HBM-preallocating.
+set -u
+cd /root/repo
+
+INSERT_PID=${1:-}
+if [ -n "$INSERT_PID" ]; then
+  while kill -0 "$INSERT_PID" 2>/dev/null; do sleep 5; done
+fi
+
+echo "=== [pipeline] search (fixed penalty, warm from ep1000) ==="
+SEARCH_LOGDIR=runs/search_r4b \
+SEARCH_RESUME=runs/search_r4b/BlockAssemblySearch_resume.npz \
+SEARCH_WARM=runs/search_r4/BlockAssemblySearch_ep1000.npz \
+SEARCH_SECONDS=${SEARCH_SECONDS:-780} \
+timeout 1100 python scripts/train_r4.py --phase search \
+  > runs/search_r4b_pipeline.log 2>&1
+echo "search rc=$?"
+
+echo "=== [pipeline] tstar ==="
+timeout 360 python -m seqdex_tpu.cli.train \
+  --task ToolPositioningChainTSTAR --logdir runs/tstar_r4 \
+  --resume runs/tstar_r4/ToolPositioningChainTSTAR_resume.npz \
+  --max_iterations 1600 --log_every 25 --save_every 400 \
+  > runs/tstar_r4/continue.log 2>&1
+echo "tstar rc=$?"
+
+echo "=== [pipeline] bench 4096 probe ==="
+BENCH_NUM_ENVS=4096 BENCH_BREADTH=0 \
+timeout 600 python bench.py > runs/bench4096.log 2>&1
+echo "bench4096 rc=$?"
+
+echo "=== [pipeline] chained eval ==="
+timeout 1500 python scripts/eval_r4_chain.py > runs/r4b_chain_eval.log 2>&1
+echo "eval rc=$?"
+echo "=== [pipeline] done ==="
