@@ -194,6 +194,11 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
             # measured 24.4 -> 17.0 ms/substep at 128 envs on v5e, settle
             # behavior pinned vs the dense solver by tests/test_segmented_qp)
             contact_precond="cs",
+            # PhysX-parity: pair selection once per control step, substeps
+            # refresh the stored pairs (tests/test_contact_reuse.py) and
+            # warm-start the impulse QP from the previous substep's solution
+            reuse_contacts=True,
+            warm_iterations=8,
         ),
     )
     D = art.ndof

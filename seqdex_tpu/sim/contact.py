@@ -290,13 +290,27 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int,
         # ONE gather per side (gather cost is ~latency-per-row, so the
         # runtime columns are concatenated with the static table first)
         gP = jnp.concatenate([pw, _staticP], axis=1)[pidx]  # (K, 7 + D)
+        gC = jnp.concatenate([cp, cq, csize, _staticC], axis=1)[cidx]
+        return _contact_math(top_depth, pidx, cidx, gP, gC,
+                             recompute_depth=False)
+
+    def _contact_math(top_depth, pidx, cidx, gP, gC,
+                      recompute_depth) -> ContactSet:
+        """Shared K-sized contact math. gP = (K, 7+D) point rows
+        [pw(3), radius, mu, body, link, anc(D)]; gC = (K, 15+D) collider rows
+        [cp(3), cq(4), size(3), mu, boxf, sphf, body, link, anc(D)].
+
+        With `recompute_depth` the penetration depth is re-derived from the
+        CURRENT poses (contact-reuse path: the pair list was selected at the
+        start of the control step — PhysX parity, which generates contacts
+        once per step and lets the TGS substeps reuse them); `top_depth` then
+        only carries pair validity (selection-masked pairs stay -1e9)."""
         kx, ky, kz = gP[:, 0], gP[:, 1], gP[:, 2]
         r_k = gP[:, 3]
         mu_pt = gP[:, 4]
         body_pt_k = gP[:, 5].astype(jnp.int32)
         link_pt_k = gP[:, 6].astype(jnp.int32)
         anc_pt_k = gP[:, 7:]
-        gC = jnp.concatenate([cp, cq, csize, _staticC], axis=1)[cidx]
         cp_k = gC[:, 0:3]
         cq_k = gC[:, 3:7]  # (K, 4) xyzw
         sz_k = gC[:, 7:10]
@@ -359,6 +373,18 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int,
         nyw = r10 * nlx + r11 * nly + r12 * nlz
         nzw = r20 * nlx + r21 * nly + r22 * nlz
 
+        if recompute_depth:
+            # depth at the CURRENT pose for the stored (point, collider)
+            # pair; selection legality (pair mask / filter words, encoded as
+            # -1e9 selection depth) is carried over from the select pass
+            sdf_box_k = outside_k + jnp.minimum(
+                jnp.maximum(bqx, jnp.maximum(bqy, bqz)), 0.0)
+            sdf_sph_k = rl - sz_k[:, 0]
+            sdf_k = (boxf * sdf_box_k + sphf * sdf_sph_k
+                     + (1.0 - boxf - sphf) * lzk)
+            valid = top_depth > -1e8
+            top_depth = jnp.where(valid, r_k - sdf_k, -1e9)
+
         off = r_k + jnp.maximum(top_depth, 0.0) * 0.5
         pxw = kx - nxw * off
         pyw = ky - nyw * off
@@ -381,8 +407,8 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int,
             link_col=link_col_k,
         )
 
-    def narrowphase(fk_pos, fk_quat, body_pos, body_quat, geom=None,
-                    collision_filter=None) -> ContactSet:
+    def _dense_select(fk_pos, fk_quat, body_pos, body_quat, geom=None,
+                      collision_filter=None):
         csize = col_size if geom is None else geom.col_size
         pw = point_world(fk_pos, fk_quat, body_pos, body_quat, geom)  # (P, 3)
         cp, cq = collider_world(fk_pos, fk_quat, body_pos, body_quat, geom)
@@ -445,7 +471,74 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int,
         top_depth, top_i = jax.lax.top_k(cand_depth, K)
         pidx = top_i % P
         cidx = cand_col[top_i]
+        return top_depth, pidx, cidx, pw, cp, cq, csize
+
+    def narrowphase(fk_pos, fk_quat, body_pos, body_quat, geom=None,
+                    collision_filter=None) -> ContactSet:
+        top_depth, pidx, cidx, pw, cp, cq, csize = _dense_select(
+            fk_pos, fk_quat, body_pos, body_quat, geom, collision_filter)
         return _per_contact(top_depth, pidx, cidx, pw, cp, cq, csize)
+
+    def select(fk_pos, fk_quat, body_pos, body_quat, geom=None,
+               collision_filter=None):
+        """Pair selection only: (sel_depth, pt_idx, col_idx), each (K,).
+
+        `sel_depth` encodes legality (-1e9 for masked/padding winners); the
+        per-substep `refresh` recomputes real depths for the stored pairs."""
+        top_depth, pidx, cidx, *_ = _dense_select(
+            fk_pos, fk_quat, body_pos, body_quat, geom, collision_filter)
+        return top_depth, pidx, cidx
+
+    def refresh(fk_pos, fk_quat, body_pos, body_quat, geom, sel) -> ContactSet:
+        """K-sized contact regeneration for a stored pair list `sel` =
+        (sel_depth, pt_idx, col_idx) at the CURRENT poses.
+
+        The TPU analog of PhysX persistent contact pairs: `gym.simulate`
+        generates contacts once per control step and the TGS substeps reuse
+        them (`utils/config.py:188` dt / sim.substeps semantics); here the
+        select pass runs once in `Simulator.step` and each substep only pays
+        O(K) math instead of the O(P*C) grid."""
+        sel_depth, pidx, cidx = sel
+        off_tbl = pt_offset if geom is None else geom.pt_offset
+        off_k = off_tbl[pidx]  # (K, 3)
+        ok_k = pt_owner_j[pidx]
+        kind_k = pt_kind_j[pidx]
+        lk = jnp.clip(ok_k, 0, fk_pos.shape[0] - 1)
+        bk = jnp.clip(ok_k, 0, max(body_pos.shape[0] - 1, 0))
+        p_link = fk_pos[lk] + quat_apply(fk_quat[lk], off_k)
+        if body_pos.shape[0] > 0:
+            p_body = body_pos[bk] + quat_apply(body_quat[bk], off_k)
+        else:
+            p_body = p_link
+        pw_k = jnp.where((kind_k == OWNER_LINK)[:, None], p_link, p_body)
+
+        cpos_tbl = col_pos if geom is None else geom.col_pos
+        csize_tbl = col_size if geom is None else geom.col_size
+        cpos_k = cpos_tbl[cidx]
+        cquat_k = col_quat[cidx]
+        csize_k = csize_tbl[cidx]
+        cok = jnp.clip(col_owner[cidx], 0, fk_pos.shape[0] - 1)
+        cbk = jnp.clip(col_owner[cidx], 0, max(body_pos.shape[0] - 1, 0))
+        ckind = col_owner_kind[cidx][:, None]
+        cp_link = fk_pos[cok] + quat_apply(fk_quat[cok], cpos_k)
+        cq_link = quat_mul(fk_quat[cok], cquat_k)
+        if body_pos.shape[0] > 0:
+            cp_body = body_pos[cbk] + quat_apply(body_quat[cbk], cpos_k)
+            cq_body = quat_mul(body_quat[cbk], cquat_k)
+        else:
+            cp_body, cq_body = cp_link, cq_link
+        cp_k = jnp.where(ckind == OWNER_STATIC, cpos_k,
+                         jnp.where(ckind == OWNER_LINK, cp_link, cp_body))
+        cq_k = jnp.where(ckind == OWNER_STATIC, cquat_k,
+                         jnp.where(ckind == OWNER_LINK, cq_link, cq_body))
+
+        gP = jnp.concatenate([pw_k, _staticP[pidx]], axis=1)
+        gC = jnp.concatenate([cp_k, cq_k, csize_k, _staticC[cidx]], axis=1)
+        return _contact_math(sel_depth, pidx, cidx, gP, gC,
+                             recompute_depth=True)
+
+    narrowphase.select = select
+    narrowphase.refresh = refresh
 
     # ------------------------------------------------------------------
     # neighbor-list path: static (G, S) point grid + per-group top-M
@@ -530,8 +623,8 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int,
     is_plane_c = jnp.asarray((np.asarray(scene.col_kind) == GEOM_PLANE))
     flat_pt = jnp.asarray(grid_idx_np.reshape(-1))
 
-    def narrowphase_nl(fk_pos, fk_quat, body_pos, body_quat, geom=None,
-                       collision_filter=None) -> ContactSet:
+    def _nl_select(fk_pos, fk_quat, body_pos, body_quat, geom=None,
+                   collision_filter=None):
         csize = col_size if geom is None else geom.col_size
         pw = point_world(fk_pos, fk_quat, body_pos, body_quat, geom)  # (P, 3)
         cp, cq = collider_world(fk_pos, fk_quat, body_pos, body_quat, geom)
@@ -640,10 +733,24 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int,
         top_depth, top_i = jax.lax.top_k(cand_depth, K)
         pidx = flat_pt[top_i % GS]
         cidx = cand_col[top_i]
+        return top_depth, pidx, cidx, pw, cp, cq, csize
+
+    def narrowphase_nl(fk_pos, fk_quat, body_pos, body_quat, geom=None,
+                       collision_filter=None) -> ContactSet:
+        top_depth, pidx, cidx, pw, cp, cq, csize = _nl_select(
+            fk_pos, fk_quat, body_pos, body_quat, geom, collision_filter)
         return _per_contact(top_depth, pidx, cidx, pw, cp, cq, csize)
+
+    def select_nl(fk_pos, fk_quat, body_pos, body_quat, geom=None,
+                  collision_filter=None):
+        top_depth, pidx, cidx, *_ = _nl_select(
+            fk_pos, fk_quat, body_pos, body_quat, geom, collision_filter)
+        return top_depth, pidx, cidx
 
     narrowphase_nl.dense = narrowphase  # exact reference for tests
     narrowphase_nl.grid_shape = (G, M, S)
+    narrowphase_nl.select = select_nl
+    narrowphase_nl.refresh = refresh  # K-sized, selection-path-independent
     return narrowphase_nl, point_world
 
 
@@ -712,6 +819,7 @@ def solve_contact_qp(
     segmented: bool = False,
     precond: str = "exact",
     pre_gathered=None,
+    lam0=None,
 ):
     """Solve the contact impulse QP (see module docstring). Per-env.
 
@@ -1009,8 +1117,15 @@ def solve_contact_qp(
             vb = inv_mass_b[:, None] * U[:, :3]
             wb = jnp.einsum("bxy,by->bx", inv_inertia_w, U[:, 3:],
                             precision=HI)
-            vw = jnp.concatenate([vb, wb], axis=1)  # (B, 6): ONE gather/side
-            g_p, g_c = vw[bpt], vw[bcl]
+            vw = jnp.concatenate([vb, wb], axis=1)  # (B, 6)
+            # gather-back as one-hot dots (the (K,)-row dynamic gathers cost
+            # ~60 ns/row when XLA peels an iteration out of the while loop —
+            # 3 ms/substep at Search scale; the (K, B) x (B, 6) matmul is
+            # trivial flops and layout-stable)
+            g_p = jax.lax.dot_general(oh_pt, vw, (((0,), (0,)), ((), ())),
+                                      precision=HI)  # (K, 6)
+            g_c = jax.lax.dot_general(oh_col, vw, (((0,), (0,)), ((), ())),
+                                      precision=HI)
             vp, wp = g_p[:, 0:3], g_p[:, 3:6]
             vc, wc = g_c[:, 0:3], g_c[:, 3:6]
             dux = (on_pt_f * (vp[:, 0] + wp[:, 1] * rpz - wp[:, 2] * rpy)
@@ -1033,8 +1148,18 @@ def solve_contact_qp(
 
         from .kernels.qp import qp_first_iterate
 
-        lam = jax.lax.fori_loop(0, iterations - 1, body_it,
-                                qp_first_iterate(b, alpha, mu, act))
+        if lam0 is None:
+            init = qp_first_iterate(b, alpha, mu, act)
+            n_it = iterations - 1
+        else:
+            # warm start (PhysX-style impulse caching): project the caller's
+            # previous-solve impulses onto the current cone and iterate the
+            # full budget from there
+            init = jnp.where(act[None, :],
+                             _project_cone_bm(lam0.reshape(3, K), mu),
+                             0.0).reshape(3 * K)
+            n_it = iterations
+        lam = jax.lax.fori_loop(0, n_it, body_it, init)
     else:
         lam = qp_iterations(
             A, b, alpha, mu, act,

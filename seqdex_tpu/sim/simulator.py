@@ -124,6 +124,18 @@ class SimConfig:
     neighbor_list: object = None
     nl_candidates: int = 64
     nl_group_size: int = 64
+    # PhysX-parity contact reuse: pair selection (the O(P*C) narrowphase
+    # grid) runs ONCE per control step in `step`; each substep re-derives
+    # depth/normal/position for the stored pairs with O(K) math. PhysX
+    # likewise generates contacts once per `gym.simulate` step and lets the
+    # TGS substeps reuse them. False = reselect every substep (exact
+    # reference for tests)
+    reuse_contacts: bool = False
+    # QP iteration budget for warm-started substeps (impulse caching across
+    # the fixed pair list, PhysX-style): substep 1 runs the full
+    # `solver_iterations` cold; later substeps start from the previous
+    # impulses and may use fewer. None = full budget everywhere
+    warm_iterations: object = None
 
 
 def default_drive_params(ndof: int, arm_dofs: int = 7):
@@ -265,7 +277,8 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             minv=minv0,
         )
 
-    def substep(state: SimState, fk_res=None) -> SimState:
+    def _substep_sol(state: SimState, fk_res=None, contact_sel=None,
+                     lam0=None):
         # callers that already ran FK at this exact (q, qd) — the env's
         # pre-physics IK pass — hand it in to skip the recompute
         if fk_res is None:
@@ -316,9 +329,14 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
         # contacts (narrowphase precompacts all static per-point/per-collider
         # solver tables to the K winners — no index gathers below);
         # state.geom carries the per-env multi-type brick overrides
-        contacts = narrowphase(fk_res.pos, fk_res.quat, state.body_pos,
-                               state.body_quat, state.geom,
-                               state.collision_filter)
+        if contact_sel is None:
+            contacts = narrowphase(fk_res.pos, fk_res.quat, state.body_pos,
+                                   state.body_quat, state.geom,
+                                   state.collision_filter)
+        else:
+            contacts = narrowphase.refresh(fk_res.pos, fk_res.quat,
+                                           state.body_pos, state.body_quat,
+                                           state.geom, contact_sel)
         contacts = contacts._replace(friction=contacts.friction * state.mu_scale)
         # robot jacobian rows: (point side) minus (collider side); zero anc
         # rows already encode "not robot-owned"
@@ -398,11 +416,14 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             dt=h,
             baumgarte=config.baumgarte,
             compliance=config.compliance,
-            iterations=config.solver_iterations,
+            iterations=(config.solver_iterations if lam0 is None
+                        else int(config.warm_iterations
+                                 or config.solver_iterations)),
             max_depenetration_vel=config.max_depenetration_vel,
             fused_solver=fused_solver,
             segmented=segmented,
             precond=config.contact_precond,
+            lam0=lam0,
         )
 
         qd_new = qd_free + sol.dqd
@@ -437,7 +458,7 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
                           + ohL_col.astype(fmag.dtype) @ fmag)
         body_force = jnp.zeros(B, dtype=fmag.dtype)
 
-        return state._replace(
+        new_state = state._replace(
             q=q_clamped.astype(state.q.dtype),
             qd=qd_new.astype(state.q.dtype),
             body_pos=body_pos_new,
@@ -448,10 +469,26 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             body_contact_force=body_force,
             minv=Minv,
         )
+        # basis-major flat impulses for warm-starting the next substep's
+        # solve (valid while the pair list is held fixed by `step`)
+        return new_state, sol.impulses.T.reshape(-1)
+
+    def substep(state: SimState, fk_res=None, contact_sel=None) -> SimState:
+        return _substep_sol(state, fk_res, contact_sel)[0]
 
     def step(state: SimState, fk0=None) -> SimState:
+        if not config.reuse_contacts:
+            for i in range(config.substeps):
+                state = substep(state, fk0 if i == 0 else None)
+            return state
+        fk_res = fk(state.q, state.qd) if fk0 is None else fk0
+        sel = narrowphase.select(fk_res.pos, fk_res.quat, state.body_pos,
+                                 state.body_quat, state.geom,
+                                 state.collision_filter)
+        lam = None
         for i in range(config.substeps):
-            state = substep(state, fk0 if i == 0 else None)
+            state, lam = _substep_sol(state, fk_res if i == 0 else None,
+                                      contact_sel=sel, lam0=lam)
         return state
 
     return Simulator(
