@@ -32,7 +32,8 @@ jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"
 
 from seqdex_tpu.cli import config as cfglib
 from seqdex_tpu.distributed.checkpoint import (
-    Checkpointer, load_params, load_train_state, save_train_state)
+    Checkpointer, load_params, load_train_state, save_params,
+    save_train_state)
 from seqdex_tpu.rl import networks
 from seqdex_tpu.rl.ppo import PPOConfig, make_ppo
 from seqdex_tpu.utils.metrics import MetricsWriter
@@ -41,7 +42,8 @@ HANDOFF = "runs/r4_handoff"
 
 
 def run_training(env, cfg, logdir, task, seconds, resume=None,
-                 warm_params=None, log_every=20, save_every=1000):
+                 warm_params=None, log_every=20, save_every=1000,
+                 max_epochs=None):
     init, train_epoch, act = make_ppo(env, cfg)
     ts = init(jax.random.PRNGKey(42))
     start_epoch = 0
@@ -49,6 +51,9 @@ def run_training(env, cfg, logdir, task, seconds, resume=None,
         ts = load_train_state(resume, ts)
         start_epoch = int(ts.epoch)
         print(f"resumed {resume} at epoch {start_epoch}", flush=True)
+        if warm_params is not None:
+            print("warm-start params superseded by the resume state "
+                  f"({resume})", flush=True)
     elif warm_params is not None:
         ts = ts._replace(params=warm_params)
     train_epoch = jax.jit(train_epoch)
@@ -57,7 +62,8 @@ def run_training(env, cfg, logdir, task, seconds, resume=None,
     t0 = time.time()
     steps_per_epoch = cfg.num_envs * cfg.horizon
     epoch = start_epoch
-    while time.time() - t0 < seconds:
+    while (time.time() - t0 < seconds
+           and (max_epochs is None or epoch < max_epochs)):
         ts, metrics = train_epoch(ts)
         if epoch % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
@@ -72,7 +78,9 @@ def run_training(env, cfg, logdir, task, seconds, resume=None,
                             full_state=True)
         epoch += 1
     save_train_state(os.path.join(logdir, f"{task}_resume.npz"), ts)
-    ckpt.maybe_save(ts, epoch, float("inf"), name=task)
+    # final params under their own name — never clobber <task>_best.npz
+    # (Search/Insert success is rare+noisy; eval wants the true best)
+    save_params(os.path.join(logdir, f"{task}_final.npz"), ts.params)
     print(f"[{task}] done at epoch {epoch} "
           f"({time.time()-t0:.0f}s)", flush=True)
     return ts
@@ -194,7 +202,9 @@ def phase_search(args):
                  resume=os.environ.get(
                      "SEARCH_RESUME",
                      "runs/search_r4/BlockAssemblySearch_resume.npz"),
-                 warm_params=warm, log_every=10, save_every=500)
+                 warm_params=warm, log_every=10, save_every=500,
+                 max_epochs=(int(os.environ["SEARCH_MAX_EPOCHS"])
+                             if "SEARCH_MAX_EPOCHS" in os.environ else None))
 
 
 def phase_orient(args):

@@ -357,7 +357,14 @@ _LEGO_FOOTPRINT = {
 }
 
 
-def lego_brick(kind: str = "1x2", with_studs: bool = True, name: str | None = None) -> BodySpec:
+def lego_brick(kind: str = "1x2", with_studs: bool = True, name: str | None = None,
+               cavity: bool = False) -> BodySpec:
+    """`cavity=True` models the brick's hollow underside as a box compound
+    (top slab + 4 rim walls) so baseplate/socket studs can enter it — the
+    press-fit interlock of the reference's VHACD real-geometry bricks
+    (`..._insert_sim.py:697-703` vhacd convex decomposition). Solid
+    (cavity=False) bricks keep the single body box — cheaper, used for heap
+    distractors where interlock never happens."""
     nx, ny = _LEGO_FOOTPRINT[kind]
     hx, hy = nx * LEGO_UNIT / 2, ny * LEGO_UNIT / 2
     # local frame: mesh center offset => body box spans z in [-0.01875, 0.02675]
@@ -369,10 +376,38 @@ def lego_brick(kind: str = "1x2", with_studs: bool = True, name: str | None = No
     ixx = mass / 12 * (ey**2 + ez**2)
     iyy = mass / 12 * (ex**2 + ez**2)
     izz = mass / 12 * (ex**2 + ey**2)
-    geoms = [
-        GeomSpec(GEOM_BOX, (hx, hy, LEGO_BODY_HALF_H), pos=(0, 0, body_c),
-                 friction=0.8, point_detail=1)
-    ]
+    if cavity:
+        # rim depth = stud height (full engagement: brick bottom meets the
+        # plate top when the studs bottom out inside the cavity); wall
+        # thickness 4 mm leaves 22 mm interior vs the 18 mm stud — 2 mm
+        # clearance per side, the press-fit slop the reference's <2 cm
+        # success predicate tolerates (`..._insert_sim.py:1666-1667`)
+        d = LEGO_STUD_H
+        t = 0.004
+        bot = body_c - LEGO_BODY_HALF_H
+        slab_h = (2 * LEGO_BODY_HALF_H - d) / 2
+        geoms = [
+            GeomSpec(GEOM_BOX, (hx, hy, slab_h),
+                     pos=(0, 0, bot + d + slab_h), friction=0.8,
+                     point_detail=1),
+            GeomSpec(GEOM_BOX, (t / 2, hy, d / 2),
+                     pos=(-(hx - t / 2), 0, bot + d / 2), friction=0.8,
+                     point_detail=0),
+            GeomSpec(GEOM_BOX, (t / 2, hy, d / 2),
+                     pos=(hx - t / 2, 0, bot + d / 2), friction=0.8,
+                     point_detail=0),
+            GeomSpec(GEOM_BOX, (hx, t / 2, d / 2),
+                     pos=(0, -(hy - t / 2), bot + d / 2), friction=0.8,
+                     point_detail=0),
+            GeomSpec(GEOM_BOX, (hx, t / 2, d / 2),
+                     pos=(0, hy - t / 2, bot + d / 2), friction=0.8,
+                     point_detail=0),
+        ]
+    else:
+        geoms = [
+            GeomSpec(GEOM_BOX, (hx, hy, LEGO_BODY_HALF_H), pos=(0, 0, body_c),
+                     friction=0.8, point_detail=1)
+        ]
     if with_studs:
         top = body_c + LEGO_BODY_HALF_H
         for ix in range(nx):
@@ -465,6 +500,37 @@ def bin_walls(box_xyz=(0.6, 0.4, 0.45), box_offset=(0.25, 0.19), thin=0.01):
         ),
     ]
     return out
+
+
+def socket_plate(n: int = 4, layers: int = 1, name: str = "socket",
+                 friction: float = 0.0) -> BodySpec:
+    """Fixed n x n studded socket plate — the reference InsertSim's "extra
+    lego" insertion base (`..._insert_sim.py:750-756,973-996`:
+    `4x4x1_real`/`4x4x2_real`, fix_base_link=True, shape friction 0.0).
+
+    Origin at the plate's BOTTOM face center (rests on the table when
+    body_pos.z = table top). Studs on the module grid; a cavity brick
+    pressed onto them interlocks laterally via stud-rim contact and bottoms
+    out on the plate top (full LEGO_STUD_H engagement)."""
+    hx = hy = n * LEGO_UNIT / 2
+    base_h = 0.0095 * layers  # reference x1/x2 plate heights
+    geoms = [GeomSpec(GEOM_BOX, (hx, hy, base_h), pos=(0, 0, base_h),
+                      friction=friction, emit_points=False)]
+    top = 2 * base_h
+    for ix in range(n):
+        for iy in range(n):
+            cx = -hx + (ix + 0.5) * LEGO_UNIT
+            cy = -hy + (iy + 0.5) * LEGO_UNIT
+            # studs EMIT contact points (corner detail): stud corners vs the
+            # cavity-brick's slab/rim colliders generate the press-fit
+            # contacts at any misalignment — point coverage independent of
+            # where the brick's own sparse points land
+            geoms.append(GeomSpec(
+                GEOM_BOX, (LEGO_STUD_HALF, LEGO_STUD_HALF, LEGO_STUD_H / 2),
+                pos=(cx, cy, top + LEGO_STUD_H / 2), friction=friction,
+                emit_points=True, point_detail=0))
+    return BodySpec(name=name, mass=0.0, inertia=(0, 0, 0, 0, 0, 0),
+                    geoms=geoms, kinematic=True)
 
 
 def baseplate(n=12, name="baseplate", pos=(0.25, -0.19, 0.618)) -> BodySpec:

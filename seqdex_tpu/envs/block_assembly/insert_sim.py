@@ -77,6 +77,19 @@ class InsertSimConfig:
     # online T-value trainer wired as Env.post_epoch_hook (the reference's
     # in-env `train_t_value` path, `..._insert_sim.py:391,398-399`)
     train_t_value: bool = False
+    # insertion base:
+    #  "union"   — kinematic union-slot brick re-typed per env (fast; the
+    #              block mates stud-on-stud without interlock)
+    #  "studded" — the reference's fixed 4x4 studded plate
+    #              (`..._insert_sim.py:750-756,973-996` "extra lego"
+    #              4x4x1_real, fix_base_link, friction 0) + a CAVITY target
+    #              brick: real stud press-fit, lateral interlock via
+    #              stud-rim contact (SURVEY hard part #2)
+    socket: str = "union"
+    # the reference also parks the 8 lego types ~1 m outside the workspace
+    # (`..._insert_sim.py:981-985`: x = 1.13.., dynamically irrelevant);
+    # scene-budget parity for the studded eval variant
+    parked_bricks: bool = False
 
 
 class InsertTaskState(NamedTuple):
@@ -118,17 +131,33 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
 
     union_kind = multitype.UNION_BRICK_KIND if multi else cfg.lego_type
     art_spec = builders.franka_allegro()
-    brick = builders.lego_brick(union_kind, name="target")
-    # socket: a kinematic brick already on the plate that the block mates to
-    socket = builders.lego_brick(union_kind, name="socket")
-    socket = dataclasses.replace(socket, kinematic=True)
+    studded = cfg.socket == "studded"
+    brick = builders.lego_brick(union_kind, name="target", cavity=studded)
+    if studded:
+        # reference insertion base: fixed 4x4 studded plate, friction 0
+        socket = builders.socket_plate(4, layers=1, name="socket")
+    else:
+        # kinematic brick already on the plate that the block mates to
+        socket = builders.lego_brick(union_kind, name="socket")
+        socket = dataclasses.replace(socket, kinematic=True)
+    bodies = [brick, socket]
+    if cfg.parked_bricks:
+        bodies += [builders.lego_brick(builders.LEGO_TYPES[i], name=f"parked{i}")
+                   for i in range(len(builders.LEGO_TYPES))]
     scene = compile_scene(
         art_spec,
-        bodies=[brick, socket],
+        bodies=bodies,
         statics=[builders.table(), builders.ground()],
     )
-    type_tables = (multitype.build_type_tables(scene, ("target", "socket"))
-                   if multi else None)
+    if not multi:
+        type_tables = None
+    elif studded:
+        # the plate is type-independent (always 4x4, like the reference's
+        # extra lego); only the held block is re-typed — with its cavity
+        type_tables = multitype.build_type_tables(
+            scene, "target", brick_kwargs={"cavity": True})
+    else:
+        type_tables = multitype.build_type_tables(scene, ("target", "socket"))
     num_types = len(builders.LEGO_TYPES)
     art = scene.art
     _force_links = tuple(art.link_index(n) for n in builders.FSR_LINKS)
@@ -203,9 +232,29 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         off = quat_apply(q, jnp.tile(jnp.asarray([0.0, 0.0, 0.04], dtype=jnp.float32), (4, 1)))
         return p + off
 
+    # per-type lateral slot offset on the stud grid (half a module on each
+    # odd footprint axis — even footprints center between studs, odd ones
+    # center on a stud)
+    _slot_offset = jnp.asarray(
+        [[0.015 * (builders._LEGO_FOOTPRINT[k][0] % 2),
+          0.015 * (builders._LEGO_FOOTPRINT[k][1] % 2)]
+         for k in builders.LEGO_TYPES], dtype=jnp.float32)  # (8, 2)
+
+    # reference parked-brick poses (`..._insert_sim.py:981-985`): the 8 lego
+    # types ~1 m outside the workspace, resting on the ground plane
+    if cfg.parked_bricks:
+        _parked_bodies = jnp.asarray(
+            [scene.body_index(f"parked{i}") for i in range(8)])
+        _parked_pos = jnp.asarray(
+            [[1.23 + 0.13 * (i % 3), -0.23 + 0.23 * (i // 3), 0.0188]
+             for i in range(8)], dtype=jnp.float32)
+
     def _reset_sim(key, ctx):
         k1, k2, k3, kt = jax.random.split(key, 4)
         s = sim.init_state(hold_q)
+        if cfg.parked_bricks:
+            s = s._replace(
+                body_pos=s.body_pos.at[_parked_bodies].set(_parked_pos))
         if cfg.randomize:
             from ...envs.randomization import randomize_sim_state
 
@@ -225,10 +274,18 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         ])
         yaw = ri[2].astype(jnp.float32) * 1.57
         sq = quat_from_angle_axis(yaw, jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32))
-        # stud-aligned mate target: one brick height up, half-module lateral
-        # (`..._insert_sim.py:1123-1129`)
-        tgt = sp + quat_apply(sq, jnp.asarray([0.0, 0.0, 0.0375], dtype=jnp.float32))
-        tgt = tgt + quat_apply(sq, jnp.asarray([0.0, 0.015, 0.0], dtype=jnp.float32))
+        if studded:
+            # interlocked pose on the plate: brick bottom meets the plate
+            # top with studs fully inside the cavity; lateral slot offset =
+            # half a module on each ODD footprint axis so the cavity centers
+            # over the stud grid (type-dependent, runtime gather)
+            tgt = sp + quat_apply(sq, jnp.concatenate(
+                [_slot_offset[t], jnp.asarray([0.03775], dtype=jnp.float32)]))
+        else:
+            # stud-aligned mate target: one brick height up, half-module
+            # lateral (`..._insert_sim.py:1123-1129`)
+            tgt = sp + quat_apply(sq, jnp.asarray([0.0, 0.0, 0.0375], dtype=jnp.float32))
+            tgt = tgt + quat_apply(sq, jnp.asarray([0.0, 0.015, 0.0], dtype=jnp.float32))
 
         # synthetic hold pose
         fk0 = sim.fk(hold_q, jnp.zeros(D, dtype=jnp.float32))

@@ -31,7 +31,8 @@ UNION_BRICK_KIND = "1x4"
 
 
 def build_type_tables(scene, target_body="target",
-                      types=builders.LEGO_TYPES) -> GeomTables:
+                      types=builders.LEGO_TYPES,
+                      brick_kwargs=None) -> GeomTables:
     """(T, ...) full-table rows for gathering into SimState.geom at reset.
 
     Rows repeat the scene's static tables except for the target bodies'
@@ -67,7 +68,8 @@ def build_type_tables(scene, target_body="target",
             (np.asarray(scene.pt_owner_kind) == OWNER_BODY)
             & (np.asarray(scene.pt_owner) == b))[0]
         for t, kind in enumerate(types):
-            spec = builders.lego_brick(kind, name=name)
+            spec = builders.lego_brick(kind, name=name,
+                                       **(brick_kwargs or {}))
             # colliders in geom order (body box first, then studs)
             csz = [np.asarray(g.size, dtype=np.float32) for g in spec.geoms]
             cps = [np.asarray(g.pos, dtype=np.float32) for g in spec.geoms]

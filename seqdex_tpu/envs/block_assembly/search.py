@@ -88,6 +88,9 @@ class SearchConfig:
     substeps: int = 2
     solver_iterations: int = 16
     max_contacts: int = 192
+    # grid narrowphase (one-hot MXU candidate gathers); True by default for
+    # the heap scale, False = exact dense selection
+    neighbor_list: bool = True
     camera_res: int = 64  # reference renders 128x128; the 3 consumed scalars
     # survive downsampling (counts rescaled to 128x128 parity)
     # penalties (`search.py:1679-1696`)
@@ -199,6 +202,13 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
             # warm-start the impulse QP from the previous substep's solution
             reuse_contacts=True,
             warm_iterations=8,
+            # grid narrowphase with one-hot MXU candidate gathers: the
+            # per-group top-64 colliders cover every collider within reach
+            # of a 1-brick point group (verified vs dense on settled heaps
+            # by scripts/check_nl_exact.py); ~5.5x fewer SDF pairs
+            neighbor_list=cfg.neighbor_list,
+            nl_candidates=64,
+            nl_group_size=64,
         ),
     )
     D = art.ndof

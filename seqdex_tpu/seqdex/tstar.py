@@ -137,10 +137,11 @@ def make_online_hook(env, num_envs: int = 16,
         tnr = jnp.sum(~pred & ~lab) / nneg
         has_pos = jnp.any(lab)
         has_neg = jnp.any(~lab)
-        # mean accuracy over the classes PRESENT in the batch (sklearn
-        # balanced_accuracy convention)
-        bal = jnp.where(has_pos & has_neg, 0.5 * (tpr + tnr),
-                        jnp.where(has_pos, tpr, tnr))
+        # balanced accuracy is only MEANINGFUL with both classes present; a
+        # one-class probe batch proves nothing about the discriminator, so
+        # report NaN rather than a vacuous per-class accuracy (a trivial
+        # always-fail predictor must never score 1.0)
+        bal = jnp.where(has_pos & has_neg, 0.5 * (tpr + tnr), jnp.nan)
         return {
             "tstar_loss": float(m["loss"]),
             "tstar_success_frac": float(m["success_frac"]),

@@ -306,6 +306,24 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             for _ in range(config.minv_ns_iters):
                 X = 2.0 * X - X @ (Mt @ X)
             Minv = 0.5 * (X + X.T)
+            # divergence guard: NS only converges while ||I - Mt X|| < 1;
+            # a large between-substep configuration jump (teleport reset,
+            # joint-limit snap) can leave the warm start outside that
+            # region, and the iteration then blows up to NaN within two
+            # substeps. Detect via the residual and fall back to the
+            # always-convergent seed X0 = Mt^T/(||Mt||_1 ||Mt||_inf)
+            # refined by the same NS chain (under-estimates the inverse —
+            # soft robot for a few substeps — and recovers geometrically
+            # through the warm start)
+            R = jnp.eye(Mt.shape[0], dtype=Mt.dtype) - Mt @ Minv
+            bad = (~jnp.all(jnp.isfinite(Minv))) | (
+                jnp.max(jnp.abs(R)) > 0.9)
+            a1 = jnp.max(jnp.sum(jnp.abs(Mt), axis=0))
+            ainf = jnp.max(jnp.sum(jnp.abs(Mt), axis=1))
+            Xs = Mt.T / (a1 * ainf)
+            for _ in range(config.minv_ns_iters):
+                Xs = 2.0 * Xs - Xs @ (Mt @ Xs)
+            Minv = jnp.where(bad, 0.5 * (Xs + Xs.T), Minv)
         rhs = M @ state.qd + h * (tau_spring - bias)
         qd_free = Minv @ rhs
 
