@@ -70,6 +70,19 @@ class OrientConfig:
     # OrientOnce variant (`allegro_hand_block_assembly_orient_once.py`):
     # block starts a single axis-rotation away from face-up
     single_rotation: bool = False
+    # reference scene budget: the reference Orient resets into the Search
+    # terminal heap — 108 lego actors per env (`..._orient.py:1465`) — and
+    # descends into it through physics (`:1655-1695`). clutter=True builds
+    # `heap_bricks` mixed-type distractors + bin walls (settled pool,
+    # reset-sampled) and runs `descent_steps` simulated steps of IK-tracked
+    # descent after the kinematic solve, so the hand meets the pile the way
+    # the reference's scripted descent does. The registry's
+    # "BlockAssemblyOrient" enables this; clutter=False keeps the clean
+    # table (fast; used by unit tests and the OrientOnce variant)
+    clutter: bool = False
+    heap_bricks: int = 107
+    heap_pool: int = 8
+    descent_steps: int = 24
 
 
 class OrientTaskState(NamedTuple):
@@ -102,9 +115,15 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
     art_spec = builders.franka_allegro()
     brick = builders.lego_brick(
         multitype.UNION_BRICK_KIND if multi else cfg.lego_type, name="target")
-    scene = compile_scene(
-        art_spec, bodies=[brick], statics=[builders.table(), builders.ground()]
-    )
+    bodies = [brick]
+    statics = [builders.table(), builders.ground()]
+    if cfg.clutter:
+        bodies += [
+            builders.lego_brick(builders.LEGO_TYPES[i % 8], name=f"heap{i}")
+            for i in range(cfg.heap_bricks)
+        ]
+        statics += builders.bin_walls()
+    scene = compile_scene(art_spec, bodies=bodies, statics=statics)
     type_tables = multitype.build_type_tables(scene) if multi else None
     num_types = len(builders.LEGO_TYPES)
     type_idx_static = (0 if multi
@@ -136,8 +155,15 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
         SimConfig(
             substeps=cfg.substeps,
             solver_iterations=cfg.solver_iterations,
-            max_contacts=cfg.max_contacts,
+            max_contacts=(cfg.max_contacts if not cfg.clutter
+                          else max(cfg.max_contacts, 192)),
             force_links=_force_links,
+            # heap-scale contact pipeline (same settings the Search env
+            # runs with; see search.py SimConfig comments)
+            **({"contact_precond": "cs", "reuse_contacts": True,
+                "warm_iterations": 8, "neighbor_list": True,
+                "nl_candidates": 64, "nl_group_size": 64}
+               if cfg.clutter else {}),
         ),
     )
     D = art.ndof
@@ -167,6 +193,41 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
         jnp.asarray(builders.DEFAULT_ARM_QPOS, dtype=jnp.float32)
     ).at[7:23].set(reset_fingers)
     target_rot_lock = quat_from_euler_xyz(*[jnp.float32(v) for v in _TARGET_EULER])
+
+    # ---- Search-terminal-heap pool (host, once): the reference's Orient
+    # scene (`..._orient.py:1465` — 108 lego actors from the Search terminal
+    # pickle), approximated by settled mixed-type heaps; the dug-out target
+    # spawns above the pile surface ----
+    if cfg.clutter:
+        import numpy as np
+
+        from .search import SearchConfig as _SC
+        from .search import _heap_drop_layout
+
+        _rng = np.random.RandomState(11)
+        _sc = _SC(heap_bricks=cfg.heap_bricks)
+        _drops = [_heap_drop_layout(_sc, _rng) for _ in range(cfg.heap_pool)]
+        _hp0 = jnp.asarray(np.stack([d[0] for d in _drops]))
+        _hq0 = jnp.asarray(np.stack([d[1] for d in _drops]))
+        NH = cfg.heap_bricks
+
+        def _settle_heap(bp, bq):
+            s = sim.init_state(reset_q0_const)
+            body_pos = s.body_pos.at[1:1 + NH].set(bp)
+            body_quat = s.body_quat.at[1:1 + NH].set(bq)
+            # park the target out of the pile during the settle
+            body_pos = body_pos.at[0].set(
+                jnp.asarray([0.6, -0.6, 0.7], dtype=jnp.float32))
+            s = s._replace(body_pos=body_pos, body_quat=body_quat)
+            s = jax.lax.fori_loop(0, 50, lambda _, st: sim.step(st), s)
+            return s.body_pos[1:1 + NH], s.body_quat[1:1 + NH]
+
+        _sp, _sq = jax.jit(jax.vmap(_settle_heap))(_hp0, _hq0)
+        import numpy as _np
+
+        heap_pos = jnp.asarray(_np.asarray(_sp))
+        heap_quat = jnp.asarray(_np.asarray(_sq))
+        _pile_top = float(_np.asarray(_sp)[..., 2].max())
 
     def _tip_pos(fk_res):
         idx = jnp.asarray(tips)
@@ -223,27 +284,59 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
         else:
             # arbitrary orientation resting on the table (face/edge up)
             rot_syn = random_quat(k2)
-        pos_syn = jnp.concatenate([xy, jnp.asarray([0.635], dtype=jnp.float32)])
+        min_z = 0.635 if not cfg.clutter else _pile_top + 0.025
+        pos_syn = jnp.concatenate([xy, jnp.asarray([min_z], dtype=jnp.float32)])
         # Search terminal from the per-type reservoir bucket when filled
         # (`..._orient.py:419-420`); saved blocks may be airborne (just dug
-        # out) — settle onto the tabletop keeping xy + orientation
+        # out) — settle onto the tabletop/pile surface keeping xy+orientation
         samp = reslib.sample(ctx["reservoir"], k1, t)
         have = ctx["reservoir"].count[t] > 0
         block_pos = jnp.where(have,
                               samp["pos"].at[2].set(
-                                  jnp.maximum(samp["pos"][2], 0.635)),
+                                  jnp.maximum(samp["pos"][2], min_z)),
                               pos_syn)
         block_rot = jnp.where(have, samp["rot"], rot_syn)
         q0 = _kinematic_descent(reset_q0_const, block_pos)
+        if cfg.clutter:
+            kh = jax.random.fold_in(k3, 3)
+            h = jax.random.randint(kh, (), 0, cfg.heap_pool)
+            s = s._replace(
+                body_pos=s.body_pos.at[1:1 + NH].set(heap_pos[h]),
+                body_quat=s.body_quat.at[1:1 + NH].set(heap_quat[h]),
+            )
         s = s._replace(
-            q=q0,
             qd=jnp.zeros(D, dtype=jnp.float32),
-            ctrl=q0,
             body_pos=s.body_pos.at[target_body].set(block_pos),
             body_quat=s.body_quat.at[target_body].set(block_rot),
             body_linvel=jnp.zeros_like(s.body_linvel),
             body_angvel=jnp.zeros_like(s.body_angvel),
         )
+        if cfg.clutter and cfg.descent_steps > 0:
+            # descend THROUGH physics into the pile — the reference's
+            # scripted IK descent (`..._orient.py:1655-1695`): each step
+            # re-solves damped-LS IK against the block's CURRENT pose and
+            # drives the arm PD targets there while the heap reacts
+            pregrasp_off = jnp.asarray([-0.18, 0.0, 0.22], dtype=jnp.float32)
+
+            def dbody(_, st):
+                fk_res = sim.fk(st.q, st.qd)
+                blk = st.body_pos[target_body]
+                pos_err = blk + pregrasp_off - fk_res.pos[hand_base]
+                rot_err = orientation_error(
+                    target_rot_lock, fk_res.quat[hand_base])
+                dpose = jnp.concatenate([pos_err, rot_err])
+                J = sim.site_jacobian(fk_res, hand_base)[:, :7]
+                delta = control_ik(J, dpose)
+                ctrl = jnp.clip(st.q.at[:7].add(delta), lower, upper)
+                ctrl = ctrl.at[7:23].set(reset_fingers)
+                return sim.step(st._replace(ctrl=ctrl), fk_res)
+
+            s = s._replace(q=reset_q0_const, ctrl=reset_q0_const)
+            s = jax.lax.fori_loop(0, cfg.descent_steps, dbody, s)
+            block_pos = s.body_pos[target_body]
+            block_rot = s.body_quat[target_body]
+        else:
+            s = s._replace(q=q0, ctrl=q0)
         return s, block_pos, block_rot, t
 
     def _observe(state: OrientTaskState, fk_res):

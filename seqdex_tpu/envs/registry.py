@@ -38,17 +38,29 @@ def _populate():
     from .block_assembly.orient import OrientConfig, make_orient_env
     from .block_assembly.search import SearchConfig, make_search_env
 
+    import os
+
+    # reference scene budget by default for the canonical task names
+    # (`..._orient.py:1465` heap, `..._insert_sim.py:750-756,981-985`
+    # studded plate + parked bricks); SEQDEX_LITE=1 reverts to the clean
+    # scenes (fast CI / quick smoke runs)
+    _lite = os.environ.get("SEQDEX_LITE", "0") == "1"
+
     _REGISTRY.setdefault(
         "BlockAssemblyGraspSim",
         lambda cfg=None, **kw: make_grasp_sim_env(cfg or GraspSimConfig(**kw)),
     )
     _REGISTRY.setdefault(
         "BlockAssemblyInsertSim",
-        lambda cfg=None, **kw: make_insert_sim_env(cfg or InsertSimConfig(**kw)),
+        lambda cfg=None, **kw: make_insert_sim_env(
+            cfg or InsertSimConfig(**({} if _lite else
+                                      {"socket": "studded",
+                                       "parked_bricks": True}) | kw)),
     )
     _REGISTRY.setdefault(
         "BlockAssemblyOrient",
-        lambda cfg=None, **kw: make_orient_env(cfg or OrientConfig(**kw)),
+        lambda cfg=None, **kw: make_orient_env(
+            cfg or OrientConfig(**({} if _lite else {"clutter": True}) | kw)),
     )
     _REGISTRY.setdefault(
         "BlockAssemblySearch",

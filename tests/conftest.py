@@ -12,6 +12,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# registry canonical names default to the reference scene budget (heap /
+# studded socket); unit tests exercise those variants explicitly and use
+# the lite scenes everywhere else (a 107-brick settle pool per test build
+# would swamp the CPU suite)
+os.environ.setdefault("SEQDEX_LITE", "1")
 # persistent compile cache: REPO-LOCAL dir (not ~/.jax_cache — a shared
 # cache can hold XLA:CPU AOT entries compiled on a different machine whose
 # feature set mismatches; loading those spams errors and can SIGILL).
