@@ -10,7 +10,15 @@ cd /root/repo
 
 INSERT_PID=${1:-}
 if [ -n "$INSERT_PID" ]; then
-  while kill -0 "$INSERT_PID" 2>/dev/null; do sleep 5; done
+  # wait only while the PID is still OUR train job (PID recycling by an
+  # unrelated process must not wedge the pipeline), bounded overall
+  WAIT_MAX=${WAIT_MAX:-10800}
+  waited=0
+  while kill -0 "$INSERT_PID" 2>/dev/null \
+      && grep -qa "train_r4.py" "/proc/$INSERT_PID/cmdline" 2>/dev/null \
+      && [ "$waited" -lt "$WAIT_MAX" ]; do
+    sleep 5; waited=$((waited + 5))
+  done
 fi
 
 echo "=== [pipeline] search (fixed penalty, warm from ep1000) ==="
@@ -18,7 +26,7 @@ SEARCH_LOGDIR=runs/search_r4b \
 SEARCH_RESUME=runs/search_r4b/BlockAssemblySearch_resume.npz \
 SEARCH_WARM=runs/search_r4/BlockAssemblySearch_ep1000.npz \
 SEARCH_SECONDS=${SEARCH_SECONDS:-720} \
-timeout 1100 python scripts/train_r4.py --phase search \
+timeout $(( ${SEARCH_SECONDS:-720} + 600 )) python scripts/train_r4.py --phase search \
   > runs/search_r4b_pipeline.log 2>&1
 echo "search rc=$?"
 

@@ -64,6 +64,12 @@ class GraspSimConfig:
     # brick geometry (envs/block_assembly/multitype.py). A single type name
     # compiles a fixed-geometry variant.
     lego_type: str = "all"
+    # per-type reset sampling weights (multi-type scenes only; None =
+    # uniform like the reference's i % 8 assignment). The harvest pipeline
+    # oversamples types whose grasp success is rare so the grasp-terminal
+    # reservoir fills type-balanced (the reference harvests >= 5000 PER
+    # TYPE before moving on, `search.py:1304-1355`).
+    type_weights: tuple = None
     # scripted phase boundaries (`..._grasp_sim.py:1592-1606`)
     lift_step: int = 75
     retract1_step: int = 100
@@ -287,7 +293,11 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
             # reference: all 8 types per env, target = i % 8
             # (`..._grasp_sim.py:959-965`); here the type is sampled per
             # reset and the brick slot's geometry gathered from the table
-            t = jax.random.randint(kt, (), 0, num_types)
+            if cfg.type_weights is not None:
+                w = jnp.asarray(cfg.type_weights, dtype=jnp.float32)
+                t = jax.random.choice(kt, num_types, p=w / w.sum())
+            else:
+                t = jax.random.randint(kt, (), 0, num_types)
             s = s._replace(geom=multitype.geom_for_type(type_tables, t))
         else:
             t = jnp.int32(type_idx_static)
@@ -648,7 +658,8 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
     )
 
     def collect_terminal_states(params, num_envs=64, steps=None, seed=0,
-                                sampler=None, ctx=None):
+                                sampler=None, ctx=None,
+                                stochastic=False):
         """Harvest grasp terminals into a per-type GraspTerminalSampler for
         InsertSim resets (`..._insert_sim.py:372-375`)."""
         from ...seqdex.handoff import GraspTerminalSampler, rollout_collect
@@ -657,7 +668,7 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("terminal_q", "terminal_pos", "terminal_rot", "terminal_type"),
-            ctx=ctx,
+            ctx=ctx, stochastic=stochastic,
         )
         sampler = sampler or GraspTerminalSampler(
             ndof=D, num_types=len(builders.LEGO_TYPES))
@@ -671,7 +682,8 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
             )
         return sampler
 
-    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0, ctx=None):
+    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0, ctx=None,
+                           stochastic=False):
         """(succ, fail) camera-frame block rotations labelled by grasp
         quality — the env's HDF5 dump (`..._grasp_sim.py:1404-1440`); trains
         the T-value that gates Orient's success."""
@@ -681,7 +693,7 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("tvalue_input", "tvalue_label"), valid_key="tvalue_valid",
-            ctx=ctx,
+            ctx=ctx, stochastic=stochastic,
         )
         return split_tvalue_data(data)
 

@@ -614,7 +614,8 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         step_ctx=step_ctx,
     )
 
-    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0, ctx=None):
+    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0, ctx=None,
+                           stochastic=False):
         """(succ, fail) camera-frame block rotations labelled by insertion
         outcome — trains the Grasp->Insert T-value that gates GraspSim's
         terminal saving (`..._grasp_sim.py:1404-1407`)."""
@@ -624,7 +625,7 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("tvalue_input", "tvalue_label"), valid_key="tvalue_valid",
-            ctx=ctx,
+            ctx=ctx, stochastic=stochastic,
         )
         return split_tvalue_data(data)
 

@@ -579,7 +579,8 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
     )
 
     def collect_terminal_states(params, num_envs=64, steps=None, seed=0,
-                                sampler=None, ctx=None):
+                                sampler=None, ctx=None,
+                                stochastic=False):
         """Face-up oriented block poses -> per-type BlockPoseSampler feeding
         GraspSim resets (`..._orient.py:1462-1515`)."""
         from ...seqdex.handoff import BlockPoseSampler, rollout_collect
@@ -588,7 +589,7 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("terminal_pos", "terminal_rot", "terminal_type"),
-            ctx=ctx,
+            ctx=ctx, stochastic=stochastic,
         )
         sampler = sampler or BlockPoseSampler(num_types=len(builders.LEGO_TYPES))
         if len(data["terminal_pos"]):
@@ -600,14 +601,15 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
             )
         return sampler
 
-    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0, ctx=None):
+    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0, ctx=None,
+                           stochastic=False):
         from ...seqdex.handoff import rollout_collect, split_tvalue_data
 
         steps = steps or cfg.episode_length + 2
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("tvalue_input", "tvalue_label"), valid_key="tvalue_valid",
-            ctx=ctx,
+            ctx=ctx, stochastic=stochastic,
         )
         return split_tvalue_data(data)
 

@@ -91,6 +91,12 @@ class SearchConfig:
     # grid narrowphase (one-hot MXU candidate gathers); True by default for
     # the heap scale, False = exact dense selection
     neighbor_list: bool = True
+    # pair-selection cadence in control steps during the TRAINING rollout
+    # (SimConfig.select_every): heap bricks move ~mm per control step, so
+    # the stored top-K pair list (with its separated-near-pair margin)
+    # stays valid between re-selects; drift vs every-step selection is
+    # pinned by tests/test_select_every.py. 1 = re-select every step.
+    select_every: int = 4
     camera_res: int = 64  # reference renders 128x128; the 3 consumed scalars
     # survive downsampling (counts rescaled to 128x128 parity)
     # penalties (`search.py:1679-1696`)
@@ -209,6 +215,7 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
             neighbor_list=cfg.neighbor_list,
             nl_candidates=64,
             nl_group_size=64,
+            select_every=cfg.select_every,
         ),
     )
     D = art.ndof
@@ -443,7 +450,10 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
 
         targets = jnp.clip(jnp.concatenate([arm_targets, fingers]), lower, upper)
         s = s._replace(ctrl=targets)
-        s = sim.step(s, fk0=fk_res)
+        # `tick` (the rollout scan index, uniform across envs) drives the
+        # select_every pair-persistence cadence; callers without a tick
+        # (harvest/eval collectors) re-select every step
+        s = sim.step(s, fk0=fk_res, tick=ctx.get("tick"))
         prog = state.progress + 1
 
         fk2 = sim.fk(s.q, s.qd)
@@ -549,7 +559,8 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
     )
 
     def collect_terminal_states(params, num_envs=64, steps=None, seed=0,
-                                sampler=None, ctx=None):
+                                sampler=None, ctx=None,
+                                stochastic=False):
         """Per-type dug-out block poses -> BlockPoseSampler feeding Orient
         resets (`search.py:1304-1355`, read at `orient.py:419-420`)."""
         from ...seqdex.handoff import BlockPoseSampler, rollout_collect
@@ -558,7 +569,7 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("terminal_pos", "terminal_rot", "terminal_type"),
-            ctx=ctx,
+            ctx=ctx, stochastic=stochastic,
         )
         sampler = sampler or BlockPoseSampler(num_types=len(builders.LEGO_TYPES))
         if len(data["terminal_pos"]):
@@ -570,7 +581,8 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
             )
         return sampler
 
-    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0, ctx=None):
+    def collect_tvalue_data(params, num_envs=64, steps=None, seed=0, ctx=None,
+                           stochastic=False):
         """(succ, fail) 650-dim temporal buffers labelled by emergence — the
         RetriGraspTValue offline dataset (`search.py:1315-1345`)."""
         from ...seqdex.handoff import rollout_collect, split_tvalue_data
@@ -579,7 +591,7 @@ def make_search_env(cfg: SearchConfig = SearchConfig(), tvalue_params=None) -> E
         data = rollout_collect(
             env, params, num_envs, steps, seed=seed,
             keys=("tvalue_input", "tvalue_label"), valid_key="tvalue_valid",
-            ctx=ctx,
+            ctx=ctx, stochastic=stochastic,
         )
         return split_tvalue_data(data)
 

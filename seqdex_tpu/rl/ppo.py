@@ -173,13 +173,19 @@ def make_ppo(env: Env, cfg: PPOConfig, axis_name: Optional[str] = None):
         return networks.critic_value(params, s)
 
     def rollout(ts: TrainState):
-        def scan_body(carry, _):
+        def scan_body(carry, t):
             env_state, obs, states, key = carry
             key, ka = jax.random.split(key)
             action, mu, logp = networks.sample_action(ts.params, obs, ka)
             value = _value(ts.params, ts.value_norm, states)
             if has_ctx:
-                env_state, out = batched_step(env_state, action, ts.env_ctx)
+                # thread the scan index as a UNIFORM scalar tick — drives
+                # the sim's select_every pair-persistence cadence (a
+                # per-env counter would batch the lax.cond); tick 0 at
+                # every epoch boundary forces a fresh pair selection
+                ctx = (dict(ts.env_ctx, tick=t)
+                       if isinstance(ts.env_ctx, dict) else ts.env_ctx)
+                env_state, out = batched_step(env_state, action, ctx)
             else:
                 env_state, out = batched_step(env_state, action)
             rec = Rollout(
@@ -192,8 +198,7 @@ def make_ppo(env: Env, cfg: PPOConfig, axis_name: Optional[str] = None):
         (env_state, last_obs, last_states, key), recs = jax.lax.scan(
             scan_body,
             (ts.env_state, ts.last_obs, ts.last_states, ts.key),
-            None,
-            length=cfg.horizon,
+            jnp.arange(cfg.horizon),
         )
         return env_state, last_obs, last_states, key, recs
 

@@ -19,22 +19,31 @@ from ..rl import networks
 
 
 def evaluate_stage(env, params, num_envs: int, episodes: int, seed: int = 0,
-                   num_types: int = 8):
-    """Deterministic rollouts; returns (success_rate, episode_count,
-    extras). extras carries per-lego-type success rates when the env emits
+                   num_types: int = 8, stochastic: bool = False):
+    """Policy rollouts; returns (success_rate, episode_count, extras).
+    extras carries per-lego-type success rates when the env emits
     `terminal_type` (the reference prints a per-type success table at
-    reset, `search.py:1292-1302`)."""
-    step = jax.jit(
-        lambda s, obs: jax.vmap(env.step)(s, networks.actor_mu(params, obs))
-    )
+    reset, `search.py:1292-1302`). Deterministic (mu) by default — the
+    rl_games play mode; `stochastic=True` samples the behavior policy, the
+    distribution the reference's training-time success tables and terminal
+    harvests are measured under (`search.py:1292-1355`)."""
+    def act(obs, k):
+        if stochastic:
+            action, _, _ = networks.sample_action(params, obs, k)
+            return action
+        return networks.actor_mu(params, obs)
+
+    step = jax.jit(lambda s, obs, k: jax.vmap(env.step)(s, act(obs, k)))
     keys = jax.random.split(jax.random.PRNGKey(seed), num_envs)
     state = jax.jit(jax.vmap(env.reset))(keys)
     obs = state.obs_stack.reshape(num_envs, -1)
     successes, count = 0.0, 0.0
     t_succ = np.zeros(num_types)
     t_count = np.zeros(num_types)
+    akey = jax.random.PRNGKey(seed + 7777)
     for _ in range(env.episode_length * episodes):
-        state, out = step(state, obs)
+        akey, k = jax.random.split(akey)
+        state, out = step(state, obs, k)
         obs = out.obs
         done = np.asarray(out.done, dtype=np.float32)
         succ = np.asarray(out.info["successes"])
@@ -115,6 +124,7 @@ def evaluate_chain(
     stage_tvalues: Dict[str, object] = None,
     collect_target: int = 100,
     collect_max_rounds: int = 8,
+    stochastic_stages: Sequence[str] = (),
 ):
     """Run the chain Search -> Orient -> GraspSim -> InsertSim with REAL
     state flow: each stage's terminal-state reservoir (harvested from its own
@@ -141,14 +151,17 @@ def evaluate_chain(
         # terminal harvesting/success in the stage envs when provided
         env = stage_factories[name](reservoir=reservoir,
                                     tvalue_params=stage_tvalues.get(name))
+        stoch = name in stochastic_stages
         rate, count, extras = evaluate_stage(
-            env, stage_params[name], num_envs, episodes, seed)
+            env, stage_params[name], num_envs, episodes, seed,
+            stochastic=stoch)
         handed_off = reservoir is not None
         results[name] = {
             "success_rate": rate,
             "episodes": count,
             "resets_from_upstream": bool(handed_off),
             "tvalue_gated": name in stage_tvalues,
+            "stochastic": stoch,
             **extras,
         }
         chain_rate *= rate
@@ -157,9 +170,10 @@ def evaluate_chain(
             # harvest until per-type fills reach collect_target (conditional
             # rates over 1-4-sample reset distributions are noise)
             for rnd in range(collect_max_rounds):
+                kw = {"stochastic": True} if stoch else {}
                 reservoir = env.collect_terminal_states(
                     stage_params[name], num_envs=min(num_envs, collect_envs),
-                    seed=seed + 1000 * rnd, sampler=reservoir)
+                    seed=seed + 1000 * rnd, sampler=reservoir, **kw)
                 counts = (np.asarray(reservoir.res.count)
                           if hasattr(reservoir, "res") else np.zeros(1))
                 if counts.min() >= collect_target:

@@ -100,38 +100,54 @@ class GraspTerminalSampler:
 
 
 def rollout_collect(env, params, num_envs: int, steps: int, seed: int = 0,
-                    keys=(), valid_key: str = "terminal_valid", ctx=None):
+                    keys=(), valid_key: str = "terminal_valid", ctx=None,
+                    stochastic: bool = False):
     """Generic host-side chain-data harvest.
 
-    Rolls the deterministic policy (`actor_mu`) and, at every step, gathers
-    `info[k] for k in keys` rows where `info[valid_key]` is set. This is the
-    TPU-side analog of the reference's reset_idx host loops that append
-    terminal states / HDF5 rows per done env (`search.py:1304-1355`,
-    `orient.py:1462-1515`). Returns dict of np arrays (rows = valid events).
+    Rolls the policy and, at every step, gathers `info[k] for k in keys`
+    rows where `info[valid_key]` is set. This is the TPU-side analog of the
+    reference's reset_idx host loops that append terminal states / HDF5
+    rows per done env (`search.py:1304-1355`, `orient.py:1462-1515`).
+    Returns dict of np arrays (rows = valid events).
+
+    `stochastic=True` samples actions from the policy distribution instead
+    of playing the mean — the reference harvests DURING TRAINING rollouts
+    (terminal saves live in reset_idx, `search.py:1304-1355`), i.e. under
+    the stochastic behavior policy; exploration noise is part of the data
+    distribution the successor stage trains on.
 
     `ctx`: optional runtime env context for ctx-aware envs (defaults to the
     env's factory-time context).
     """
+    def act(obs, k):
+        if stochastic:
+            # raw sampled action, exactly what the training rollout feeds
+            # the env (rl/ppo.py:179-184); the env applies its own clipping
+            action, _, _ = networks.sample_action(params, obs, k)
+            return action
+        return networks.actor_mu(params, obs)
+
     if env.step_ctx is not None:
         if ctx is None:
             ctx = env.init_ctx()
         _step = jax.jit(
-            lambda s, obs, c: jax.vmap(env.step_ctx, in_axes=(0, 0, None))(
-                s, networks.actor_mu(params, obs), c))
-        step = lambda s, obs: _step(s, obs, ctx)
+            lambda s, obs, c, k: jax.vmap(
+                env.step_ctx, in_axes=(0, 0, None))(s, act(obs, k), c))
+        step = lambda s, obs, k: _step(s, obs, ctx, k)
         rng = jax.random.split(jax.random.PRNGKey(seed), num_envs)
         state = jax.jit(
             jax.vmap(env.reset_ctx, in_axes=(0, None)))(rng, ctx)
     else:
         step = jax.jit(
-            lambda s, obs: jax.vmap(env.step)(s, networks.actor_mu(params, obs))
-        )
+            lambda s, obs, k: jax.vmap(env.step)(s, act(obs, k)))
         rng = jax.random.split(jax.random.PRNGKey(seed), num_envs)
         state = jax.jit(jax.vmap(env.reset))(rng)
     obs = np.asarray(state.obs_stack.reshape(num_envs, -1))
     acc = {k: [] for k in keys}
+    akey = jax.random.PRNGKey(seed + 7777)
     for _ in range(steps):
-        state, out = step(state, obs)
+        akey, k = jax.random.split(akey)
+        state, out = step(state, obs, k)
         obs = out.obs
         valid = np.asarray(out.info[valid_key]).astype(bool)
         if valid.any():

@@ -163,6 +163,69 @@ def train_offline(
     return ts, acc
 
 
+def fit_temperature(params, xs, labels_binary, lo: float = 0.05,
+                    hi: float = 20.0, steps: int = 200):
+    """Fit a post-hoc temperature on held-out data (Guo et al. 2017 —
+    single-scalar calibration; monotonic, so classification accuracy is
+    unchanged). Returns the T minimizing held-out NLL of the success logit.
+
+    Why: the reference thresholds gate confidence at an absolute 0.99
+    (`..._orient.py:1201-1203`); its checkpoint nets are trained 10k+
+    iterations to saturation, ours may be under/over-confident at matched
+    accuracy — T translates our logit scale onto the reference's
+    confidence scale so the 0.99 semantics carry over.
+    """
+    logits = tvalue_logits(params, xs)[..., 1]
+    y = jnp.asarray(labels_binary, dtype=jnp.float32)
+
+    def nll(t):
+        z = logits / t
+        return jnp.mean(jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z))))
+
+    ts_grid = jnp.exp(jnp.linspace(jnp.log(lo), jnp.log(hi), steps))
+    nlls = jax.vmap(nll)(ts_grid)
+    return float(ts_grid[jnp.argmin(nlls)])
+
+
+def apply_temperature(params: dict, temperature: float) -> dict:
+    """Fold a fitted temperature into the FINAL layer so downstream
+    consumers (the 0.99 gates in the stage envs) need no protocol change:
+    sigmoid(w/T . h + b/T) == sigmoid(logit / T)."""
+    head = {"w": params["head"]["w"] / temperature,
+            "b": params["head"]["b"] / temperature}
+    return {"layers": params["layers"], "head": head}
+
+
+def calibration_report(params, xs, labels_binary, threshold: float = 0.99,
+                       bins: int = 10) -> dict:
+    """Confidence histogram + expected calibration error + the operative
+    number for the chain: what fraction of each class clears the 0.99 gate
+    (`..._orient.py:1201-1203`). All floats, JSON-ready."""
+    conf = np.asarray(tvalue_confidence(params, xs))
+    y = np.asarray(labels_binary, dtype=np.float32)
+    pred = (conf > 0.5).astype(np.float32)
+    acc = float((pred == y).mean())
+    edges = np.linspace(0, 1, bins + 1)
+    ece = 0.0
+    hist = []
+    for i in range(bins):
+        m = (conf >= edges[i]) & (conf < edges[i + 1] if i < bins - 1 else conf <= 1.0)
+        if m.sum():
+            gap = abs(float(conf[m].mean()) - float(y[m].mean()))
+            ece += m.mean() * gap
+        hist.append(int(m.sum()))
+    succ, fail = conf[y > 0.5], conf[y <= 0.5]
+    return {
+        "val_acc": acc,
+        "ece": float(ece),
+        "conf_hist": hist,
+        "mean_conf_succ": float(succ.mean()) if len(succ) else float("nan"),
+        "mean_conf_fail": float(fail.mean()) if len(fail) else float("nan"),
+        "frac_succ_above_gate": float((succ > threshold).mean()) if len(succ) else 0.0,
+        "frac_fail_above_gate": float((fail > threshold).mean()) if len(fail) else 0.0,
+    }
+
+
 def save_tvalue(path: str, params: dict):
     flat, treedef = jax.tree_util.tree_flatten(params)
     np.savez(path, *[np.asarray(x) for x in flat])

@@ -75,6 +75,12 @@ class SimState(NamedTuple):
     # per-env DOF effort/stiffness scaling (`gui.py:3080-3086` per-phase
     # set_dof_effort); None = 1
     effort_scale: jnp.ndarray = None
+    # persistent narrowphase pair list (SimConfig.select_every > 1): the
+    # (K,) selection triple carried across control steps between re-select
+    # ticks; None when persistence is off
+    sel_depth: jnp.ndarray = None  # (K,)
+    sel_pt: jnp.ndarray = None  # (K,) i32
+    sel_col: jnp.ndarray = None  # (K,) i32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,6 +142,17 @@ class SimConfig:
     # `solver_iterations` cold; later substeps start from the previous
     # impulses and may use fewer. None = full budget everywhere
     warm_iterations: object = None
+    # Cross-CONTROL-step pair persistence: re-run the O(P*C) selection grid
+    # only every `select_every` control steps; in between, the stored pair
+    # list (SimState.sel_*) is refreshed with O(K) math per substep. The
+    # cadence is driven by a UNIFORM scalar `tick` the caller threads in
+    # (the PPO rollout scan index) — a per-env counter would batch the
+    # branch and run both sides. Heap bricks move ~mm per control step and
+    # the top-K list carries separated near-pairs as margin, so a <=
+    # (select_every - 1)-step-stale pair list still catches forming
+    # contacts; callers that do not pass a tick re-select every step.
+    # Requires reuse_contacts.
+    select_every: int = 1
 
 
 def default_drive_params(ndof: int, arm_dofs: int = 7):
@@ -275,6 +292,18 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             mass_scale=jnp.ones((), dtype=jnp.float32),
             gravity_offset=jnp.zeros(3, dtype=jnp.float32),
             minv=minv0,
+            **(
+                {
+                    # all-masked pair list; the first re-select tick (tick 0
+                    # after any reset-carrying epoch boundary) overwrites it
+                    "sel_depth": jnp.full(
+                        config.max_contacts, -1e9, dtype=jnp.float32),
+                    "sel_pt": jnp.zeros(config.max_contacts, dtype=jnp.int32),
+                    "sel_col": jnp.zeros(config.max_contacts, dtype=jnp.int32),
+                }
+                if config.select_every > 1
+                else {}
+            ),
         )
 
     def _substep_sol(state: SimState, fk_res=None, contact_sel=None,
@@ -494,15 +523,32 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
     def substep(state: SimState, fk_res=None, contact_sel=None) -> SimState:
         return _substep_sol(state, fk_res, contact_sel)[0]
 
-    def step(state: SimState, fk0=None) -> SimState:
+    def step(state: SimState, fk0=None, tick=None) -> SimState:
         if not config.reuse_contacts:
             for i in range(config.substeps):
                 state = substep(state, fk0 if i == 0 else None)
             return state
         fk_res = fk(state.q, state.qd) if fk0 is None else fk0
-        sel = narrowphase.select(fk_res.pos, fk_res.quat, state.body_pos,
-                                 state.body_quat, state.geom,
-                                 state.collision_filter)
+
+        def _fresh_select(_):
+            return narrowphase.select(fk_res.pos, fk_res.quat, state.body_pos,
+                                      state.body_quat, state.geom,
+                                      state.collision_filter)
+
+        if (config.select_every > 1 and tick is not None
+                and state.sel_depth is not None):
+            # uniform scalar cadence: lax.cond on an UNBATCHED predicate
+            # stays a real branch under vmap, so off-tick steps skip the
+            # O(P*C) grid entirely
+            do = (jnp.asarray(tick, jnp.int32) % config.select_every) == 0
+            sel = jax.lax.cond(
+                do, _fresh_select,
+                lambda _: (state.sel_depth, state.sel_pt, state.sel_col),
+                operand=None)
+            state = state._replace(sel_depth=sel[0], sel_pt=sel[1],
+                                   sel_col=sel[2])
+        else:
+            sel = _fresh_select(None)
         lam = None
         for i in range(config.substeps):
             state, lam = _substep_sol(state, fk_res if i == 0 else None,

@@ -107,3 +107,27 @@ def test_camera_seg_stats():
     box_pos2 = box_pos.at[1, 0].set(0.5)
     c2, *_ = cam(cam_pos, cam_quat, jnp.int32(1), box_pos2, box_quat, half)
     assert float(c2) > 0
+
+
+def test_tvalue_temperature_calibration():
+    """Temperature scaling: accuracy invariant, gate-clearing fraction
+    recovers when an accurate net is under-confident (the VERDICT r4
+    failure mode: val-acc 0.8 gate clears 0.99 on ~nothing)."""
+    rng = np.random.default_rng(0)
+    succ = rng.normal(0.5, 0.4, (400, 4)).astype(np.float32)
+    fail = rng.normal(-0.5, 0.4, (400, 4)).astype(np.float32)
+    ts, _ = tvlib.train_offline(succ, fail, in_dim=4, hidden=(32, 16),
+                                rollouts=300, eval_every=300,
+                                log=lambda *a: None)
+    xs = np.concatenate([succ[:100], fail[:100]])
+    ys = np.concatenate([np.ones(100), np.zeros(100)])
+    before = tvlib.calibration_report(ts.params, xs, ys)
+    temp = tvlib.fit_temperature(ts.params, xs, ys)
+    calibrated = tvlib.apply_temperature(ts.params, temp)
+    after = tvlib.calibration_report(calibrated, xs, ys)
+    # monotonic transform: decisions at 0.5 unchanged
+    assert after["val_acc"] == pytest.approx(before["val_acc"], abs=1e-6)
+    # an accurate-but-soft net must clear the 0.99 gate after calibration
+    assert before["frac_succ_above_gate"] < 0.2
+    assert after["frac_succ_above_gate"] > 0.5
+    assert after["ece"] < before["ece"]
