@@ -53,6 +53,34 @@ def rollout_rate(env, num_envs, iters, warmup, seed=0):
     return num_envs * iters / (time.perf_counter() - t0)
 
 
+def rollout_rate_ticked(env, num_envs, iters, warmup, seed=0):
+    """Training-path rollout: step_ctx with the uniform tick the PPO scan
+    threads (drives SimConfig.select_every pair persistence)."""
+    ctx = env.init_ctx()
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_envs)
+    state = jax.jit(jax.vmap(env.reset_ctx, in_axes=(0, None)))(keys, ctx)
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(1), env.num_obs, env.num_states, env.num_actions
+    )
+
+    def rollout_step(state, obs, t):
+        action = networks.actor_mu(params, obs)
+        state, out = jax.vmap(env.step_ctx, in_axes=(0, 0, None))(
+            state, action, dict(ctx, tick=t))
+        return state, out.obs
+
+    rollout_step = jax.jit(rollout_step, donate_argnums=(0,))
+    obs = state.obs_stack.reshape(num_envs, -1)
+    for t in range(warmup):
+        state, obs = rollout_step(state, obs, jnp.int32(t))
+    jax.block_until_ready(obs)
+    t0 = time.perf_counter()
+    for t in range(iters):
+        state, obs = rollout_step(state, obs, jnp.int32(t))
+    jax.block_until_ready(obs)
+    return num_envs * iters / (time.perf_counter() - t0)
+
+
 def emit(metric, value, unit, vs=None):
     rec = {"metric": metric, "value": round(value, 1), "unit": unit}
     if vs is not None:
@@ -86,10 +114,14 @@ def main():
                 make_search_env,
             )
 
+            # r5: max_contacts=768 (the r4 value of 192 starved the pile's
+            # support — the heap free-fell; see search.py max_contacts) and
+            # tick-driven select_every pair persistence, i.e. the TRAINING
+            # hot path
             senv = make_search_env(SearchConfig())
             n_search = int(os.environ.get("BENCH_SEARCH_ENVS", "128"))
-            rate = rollout_rate(senv, n_search, max(iters // 3, 5),
-                                max(warmup // 3, 5))
+            rate = rollout_rate_ticked(senv, n_search, max(iters // 3, 5),
+                                       max(warmup // 3, 5))
             emit("search_132brick_env_steps_per_sec_per_chip", rate,
                  "env_steps/s/chip")
         except Exception as e:  # pragma: no cover

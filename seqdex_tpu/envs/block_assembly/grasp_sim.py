@@ -174,8 +174,11 @@ def make_grasp_sim_env(cfg: GraspSimConfig = GraspSimConfig(), reservoir=None,
         SimConfig(
             substeps=cfg.substeps,
             solver_iterations=cfg.solver_iterations,
+            # a resting 72-brick pile needs ~300 active support contacts —
+            # K=160 top-K-starves it into free fall (see search.py
+            # max_contacts comment; same failure, found round 5)
             max_contacts=(cfg.max_contacts if not cfg.clutter
-                          else max(cfg.max_contacts, 160)),
+                          else max(cfg.max_contacts, 512)),
             force_links=_force_links,
         ),
     )

@@ -155,8 +155,11 @@ def make_orient_env(cfg: OrientConfig = OrientConfig(), reservoir=None,
         SimConfig(
             substeps=cfg.substeps,
             solver_iterations=cfg.solver_iterations,
+            # a resting 107-brick heap needs ~450 active support contacts —
+            # K=192 top-K-starves it into free fall (see search.py
+            # max_contacts comment; same failure, found round 5)
             max_contacts=(cfg.max_contacts if not cfg.clutter
-                          else max(cfg.max_contacts, 192)),
+                          else max(cfg.max_contacts, 640)),
             force_links=_force_links,
             # heap-scale contact pipeline (same settings the Search env
             # runs with; see search.py SimConfig comments)

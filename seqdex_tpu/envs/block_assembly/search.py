@@ -84,10 +84,17 @@ class SearchConfig:
     heap_bricks: int = 132  # reference heap size (`search.py:735-742`)
     heap_types: int = 8  # mixed brick types, type = index % 8 (`search.py:610`)
     heap_pool: int = 16  # number of pre-settled heaps in the reset pool
-    settle_steps: int = 60
+    settle_steps: int = 120
     substeps: int = 2
     solver_iterations: int = 16
-    max_contacts: int = 192
+    # contact budget: a RESTING 132-brick pile carries ~500 active support
+    # contacts (132 bricks x ~4 manifold points + bottom-layer/table rows;
+    # measured ~5xx with a K=2048 probe on the settled pool) — the r4 value
+    # of 192 globally top-K-starved the pile, leaving most bricks
+    # unsupported: the heap free-fell through the table from the first
+    # step and Search could never succeed at episode end. PhysX never hits
+    # this (per-pair manifolds + an 8M-pair buffer, `utils/config.py:204`).
+    max_contacts: int = 768
     # grid narrowphase (one-hot MXU candidate gathers); True by default for
     # the heap scale, False = exact dense selection
     neighbor_list: bool = True

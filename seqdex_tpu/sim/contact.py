@@ -165,7 +165,10 @@ def make_narrowphase(scene: CompiledScene, max_contacts: int,
     col_size = jnp.asarray(scene.col_size, dtype=jnp.float32)
     col_friction = jnp.asarray(scene.col_friction, dtype=jnp.float32)
     pair_mask_T = jnp.asarray(scene.pair_mask.T)  # (C, P)
-    K = max_contacts
+    # the dense selection draws from best-2-per-point candidates, so 2P is
+    # the largest meaningful budget — clamp so oversized configs (probe
+    # runs, generous scene defaults) stay valid
+    K = min(max_contacts, 2 * P)
     B = scene.nbodies
 
     is_box = jnp.asarray((col_kind == GEOM_BOX)[:, None])  # (C, 1)

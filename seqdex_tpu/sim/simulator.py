@@ -240,7 +240,8 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
         from .kernels.fused_contact import make_fused_solver
 
         fused_solver = make_fused_solver(
-            config.max_contacts, D, config.solver_iterations,
+            min(config.max_contacts, 2 * scene.npoints), D,
+            config.solver_iterations,
             reg=config.compliance, env_block=config.pallas_env_block,
             interpret=not on_tpu,  # CPU: interpreter mode (tests)
             mode=config.contact_solver_mode)
@@ -295,11 +296,18 @@ def make_sim(scene: CompiledScene, config: SimConfig) -> Simulator:
             **(
                 {
                     # all-masked pair list; the first re-select tick (tick 0
-                    # after any reset-carrying epoch boundary) overwrites it
+                    # after any reset-carrying epoch boundary) overwrites it.
+                    # Size mirrors the narrowphase's clamped budget
+                    # (contact.py: K = min(max_contacts, 2P))
                     "sel_depth": jnp.full(
-                        config.max_contacts, -1e9, dtype=jnp.float32),
-                    "sel_pt": jnp.zeros(config.max_contacts, dtype=jnp.int32),
-                    "sel_col": jnp.zeros(config.max_contacts, dtype=jnp.int32),
+                        min(config.max_contacts, 2 * scene.npoints), -1e9,
+                        dtype=jnp.float32),
+                    "sel_pt": jnp.zeros(
+                        min(config.max_contacts, 2 * scene.npoints),
+                        dtype=jnp.int32),
+                    "sel_col": jnp.zeros(
+                        min(config.max_contacts, 2 * scene.npoints),
+                        dtype=jnp.int32),
                 }
                 if config.select_every > 1
                 else {}
