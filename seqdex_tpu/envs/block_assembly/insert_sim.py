@@ -166,7 +166,13 @@ def make_insert_sim_env(cfg: InsertSimConfig = InsertSimConfig(),
         SimConfig(
             substeps=cfg.substeps,
             solver_iterations=cfg.solver_iterations,
-            max_contacts=cfg.max_contacts,
+            # studded/parked scene: 8 parked bricks x ~4 support contacts +
+            # stud engagement rows + the held brick exceed the clean-scene
+            # budget — a global top-K below the rest demand free-falls
+            # unsupported bodies (see search.py max_contacts)
+            max_contacts=(cfg.max_contacts
+                          if not (cfg.socket == "studded" or cfg.parked_bricks)
+                          else max(cfg.max_contacts, 160)),
             force_links=_force_links,
         ),
     )
