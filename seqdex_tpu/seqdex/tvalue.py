@@ -187,6 +187,35 @@ def fit_temperature(params, xs, labels_binary, lo: float = 0.05,
     return float(ts_grid[jnp.argmin(nlls)])
 
 
+def fit_gate_temperature(params, xs, labels_binary, threshold: float = 0.99,
+                         target_tpr: float = 0.8):
+    """Operating-point temperature: the smallest sharpening T such that
+    `target_tpr` of TRUE successes clear the absolute `threshold` gate.
+
+    Why this exists: NLL-optimal temperature (`fit_temperature`) is honest —
+    a net with val-acc ~0.86 cannot calibrate to 0.99 confidence, so the
+    reference's fixed 0.99 gate (`..._orient.py:1201-1203`) would reject
+    everything. The reference's embedded 0.834-acc checkpoint passing that
+    gate at useful rates implies ITS confidences saturate (10k+ noisy-input
+    iterations on a 4-dim input); this fit reproduces that operating point
+    explicitly and the calibration report carries the false-accept cost.
+    Monotonic — accuracy at 0.5 unchanged."""
+    logits = np.asarray(tvalue_logits(params, xs))[..., 1]
+    y = np.asarray(labels_binary) > 0.5
+    succ_logits = logits[y]
+    if not len(succ_logits):
+        return 1.0
+    q = float(np.quantile(succ_logits, 1.0 - target_tpr))
+    z_thr = float(np.log(threshold / (1.0 - threshold)))  # logit(0.99)
+    if q <= 0:
+        # the target-tpr quantile is on the WRONG side of 0.5 — sharpening
+        # cannot lift it over the gate; sharpen to the median instead
+        q = float(np.quantile(succ_logits, 0.5))
+        if q <= 0:
+            return 1.0
+    return q / z_thr
+
+
 def apply_temperature(params: dict, temperature: float) -> dict:
     """Fold a fitted temperature into the FINAL layer so downstream
     consumers (the 0.99 gates in the stage envs) need no protocol change:

@@ -131,3 +131,25 @@ def test_tvalue_temperature_calibration():
     assert before["frac_succ_above_gate"] < 0.2
     assert after["frac_succ_above_gate"] > 0.5
     assert after["ece"] < before["ece"]
+
+
+def test_tvalue_operating_point_gate():
+    """fit_gate_temperature: the target fraction of true successes clears
+    the absolute 0.99 gate; accuracy unchanged; false-accepts reported."""
+    rng = np.random.default_rng(1)
+    succ = rng.normal(0.5, 0.5, (400, 4)).astype(np.float32)
+    fail = rng.normal(-0.5, 0.5, (400, 4)).astype(np.float32)
+    ts, _ = tvlib.train_offline(succ, fail, in_dim=4, hidden=(32, 16),
+                                rollouts=300, eval_every=300,
+                                log=lambda *a: None)
+    xs = np.concatenate([succ[:100], fail[:100]])
+    ys = np.concatenate([np.ones(100), np.zeros(100)])
+    temp = tvlib.fit_gate_temperature(ts.params, xs, ys, target_tpr=0.8)
+    gate = tvlib.apply_temperature(ts.params, temp)
+    rep = tvlib.calibration_report(gate, xs, ys)
+    base = tvlib.calibration_report(ts.params, xs, ys)
+    assert rep["val_acc"] == pytest.approx(base["val_acc"], abs=1e-6)
+    assert rep["frac_succ_above_gate"] >= 0.7
+    # sharpening lets some hard negatives through — must stay bounded for a
+    # separable problem
+    assert rep["frac_fail_above_gate"] < 0.5
